@@ -1,0 +1,118 @@
+"""Latent DDPM algorithms: training loss, ancestral sampling, transition
+log-probability.
+
+Capability parity with `DmModel`
+(`/root/reference/models/dm/dm_model.py:82-174`), re-designed functionally:
+the denoiser is a flax module applied through its `apply` function, and the
+100-step reverse-diffusion loop — a Python `for` in the reference
+(`dm_model.py:119-135`) — is a single `lax.scan`, compiled once. The PPO
+quantities the reference collects inside the loop (x at t=1, x at t=0, the
+final transition's log-prob) are accumulated in the scan carry with masks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cld_tpu.ops.diffusion import (
+    DiffusionSchedule,
+    normal_log_prob,
+    posterior_mean_logvar,
+    q_sample,
+)
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# (x [BN, T, D], cond_feat [BN, C], t [BN]) -> eps_hat [BN, T, D]
+
+
+def dm_loss(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    rng: jax.Array,
+    z0: jnp.ndarray,
+    cond_feat: jnp.ndarray,
+) -> jnp.ndarray:
+    """Epsilon-prediction MSE at uniformly sampled timesteps
+    (`dm_model.py:82-89`)."""
+    t_rng, noise_rng = jax.random.split(rng)
+    batch = z0.shape[0]
+    t = jax.random.randint(t_rng, (batch,), 0, schedule.n_timesteps)
+    noise = jax.random.normal(noise_rng, z0.shape, z0.dtype)
+    z_noisy = q_sample(schedule, z0, t, noise)
+    eps_hat = denoise_fn(z_noisy, cond_feat, t)
+    return jnp.mean((noise - eps_hat) ** 2)
+
+
+def sample_traj(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    rng: jax.Array,
+    cond_feat: jnp.ndarray,
+    horizon: int,
+    latent_size: int,
+    num_samp: int = 1,
+    guidance_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full ancestral sampling as one lax.scan (`dm_model.py:103-142`).
+
+    Args:
+        cond_feat: [B, C] conditioning; internally repeated to [B*N, C].
+        guidance_fn: optional (x, t) -> perturbed posterior-mean hook used by
+            the test-time guidance engine (see cld_tpu.guidance).
+    Returns dict with:
+        pred_traj  [B*N, T, D]  final x_0
+        x1         [B*N, T, D]  state recorded after the t==1 transition
+        log_prob_final [B*N]    mean elementwise log-prob of the final step
+        cond_feat  [B*N, C]     repeated conditioning (for PPO bookkeeping)
+    """
+    B = cond_feat.shape[0]
+    cond = jnp.repeat(cond_feat, num_samp, axis=0)  # [B*N, C]
+    BN = B * num_samp
+
+    rng, init_rng = jax.random.split(rng)
+    x_init = jax.random.normal(init_rng, (BN, horizon, latent_size), cond_feat.dtype)
+
+    steps = jnp.arange(schedule.n_timesteps - 1, -1, -1)
+    step_rngs = jax.random.split(rng, schedule.n_timesteps)
+
+    def body(carry, inp):
+        x, x1, logp = carry
+        i, step_rng = inp
+        t = jnp.full((BN,), i, dtype=jnp.int32)
+        eps_hat = denoise_fn(x, cond, t)
+        mean, log_var = posterior_mean_logvar(schedule, x, eps_hat, t)
+        if guidance_fn is not None:
+            mean = guidance_fn(mean, t)
+        sigma = jnp.exp(0.5 * log_var)
+        noise = jax.random.normal(step_rng, x.shape, x.dtype)
+        nonzero = (i != 0).astype(x.dtype)
+        x_next = mean + nonzero * sigma * noise
+
+        x1 = jnp.where(i == 1, x_next, x1)
+        step_logp = jnp.mean(normal_log_prob(x_next, mean, sigma), axis=(1, 2))
+        logp = jnp.where(i == 0, step_logp, logp)
+        return (x_next, x1, logp), None
+
+    init = (x_init, jnp.zeros_like(x_init), jnp.zeros((BN,), cond_feat.dtype))
+    (x0, x1, logp), _ = jax.lax.scan(body, init, (steps, step_rngs))
+
+    return {"pred_traj": x0, "x1": x1, "log_prob_final": logp, "cond_feat": cond}
+
+
+def transition_log_prob(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    x_t_minus_1: jnp.ndarray,
+    cond_feat: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """log p(x_{t-1} | x_t) under the current denoiser, mean over elements
+    (`dm_model.py:165-174`) — the PPO ratio numerator."""
+    eps_hat = denoise_fn(x_t, cond_feat, t)
+    mean, log_var = posterior_mean_logvar(schedule, x_t, eps_hat, t)
+    sigma = jnp.exp(0.5 * log_var)
+    return jnp.mean(normal_log_prob(x_t_minus_1, mean, sigma), axis=(1, 2))
