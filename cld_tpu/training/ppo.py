@@ -1,0 +1,211 @@
+"""PPO fine-tuning of the denoiser on safety rewards.
+
+Capability parity with `GuideDMLightningModule`
+(`/root/reference/src/trainers/guide_dm_trainer.py:18-306`), re-designed
+on-device:
+
+* experience collection runs the full 100-step reverse diffusion (one
+  lax.scan), decodes through the frozen VAE + unicycle, and scores
+  offroad/collision/jerk rewards — all in one jitted step;
+* the replay buffer is a fixed-capacity ring of device arrays (the
+  reference's CPU deque of tensors, `criticmodel.py:147-187`, forced a
+  GPU->CPU copy per sample and a CPU->GPU re-upload per minibatch — here
+  nothing leaves HBM);
+* the PPO update — 10 epochs x 300 minibatches in Python in the reference
+  (`guide_dm_trainer.py:127-183`) — is a single lax.scan of 3000 clipped-
+  surrogate steps, compiled once.
+
+Sampling from the buffer uses uniform indices with replacement (the
+reference uses `random.sample` without replacement per 128-of-3000
+minibatch; statistically indistinguishable here and shape-static).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from cld_tpu.algos.dm import transition_log_prob
+from cld_tpu.algos.reward import compute_reward, failure_rate
+from cld_tpu.data.batch import TrafficBatch
+from cld_tpu.models.vae import convert_action_to_state_and_action
+from cld_tpu.ops.dynamics import UnicycleParams
+from cld_tpu.ops.normalization import TrajNormalizer
+from cld_tpu.training.dm import DMTrainer
+
+
+class ReplayBufferState(NamedTuple):
+    """Ring buffer of PPO transitions, resident in device memory."""
+
+    x0: jnp.ndarray  # [C, T, D]
+    x1: jnp.ndarray  # [C, T, D]
+    log_p: jnp.ndarray  # [C]
+    reward: jnp.ndarray  # [C]
+    cond_feat: jnp.ndarray  # [C, F]
+    ptr: jnp.ndarray  # scalar int32: next write slot
+    size: jnp.ndarray  # scalar int32: filled slots
+    baseline: jnp.ndarray  # scalar f32: EMA reward baseline
+    initialized: jnp.ndarray  # scalar bool
+
+
+def buffer_init(capacity: int, horizon: int, latent: int, cond_dim: int) -> ReplayBufferState:
+    return ReplayBufferState(
+        x0=jnp.zeros((capacity, horizon, latent)),
+        x1=jnp.zeros((capacity, horizon, latent)),
+        log_p=jnp.zeros((capacity,)),
+        reward=jnp.zeros((capacity,)),
+        cond_feat=jnp.zeros((capacity, cond_dim)),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+        baseline=jnp.zeros(()),
+        initialized=jnp.zeros((), jnp.bool_),
+    )
+
+
+def buffer_add(
+    buf: ReplayBufferState,
+    x0: jnp.ndarray,
+    x1: jnp.ndarray,
+    log_p: jnp.ndarray,
+    reward: jnp.ndarray,
+    cond_feat: jnp.ndarray,
+    alpha: float = 0.9,
+) -> ReplayBufferState:
+    """Batch insert + EMA baseline update (`criticmodel.py:155-177`)."""
+    n = x0.shape[0]
+    capacity = buf.x0.shape[0]
+    idx = (buf.ptr + jnp.arange(n)) % capacity
+    mean_r = reward.mean()
+    baseline = jnp.where(
+        buf.initialized, alpha * buf.baseline + (1 - alpha) * mean_r, mean_r
+    )
+    return ReplayBufferState(
+        x0=buf.x0.at[idx].set(x0),
+        x1=buf.x1.at[idx].set(x1),
+        log_p=buf.log_p.at[idx].set(log_p),
+        reward=buf.reward.at[idx].set(reward),
+        cond_feat=buf.cond_feat.at[idx].set(cond_feat),
+        ptr=(buf.ptr + n) % capacity,
+        size=jnp.minimum(buf.size + n, capacity),
+        baseline=baseline,
+        initialized=jnp.ones((), jnp.bool_),
+    )
+
+
+class PPOTrainer:
+    """Drives collection + clipped-surrogate updates on top of a DMTrainer."""
+
+    def __init__(self, config, dm_trainer: DMTrainer):
+        self.config = config
+        self.dm = dm_trainer
+        algo = config.algo
+        self.num_samp = algo.num_samp
+        self.mini_batch = algo.ppo_mini_batch
+        self.update_times = algo.ppo_update_times
+        self.ppo_epochs = algo.get("ppo_epochs", 10)
+        self.clip_eps = algo.get("ppo_clip_eps", 0.2)
+        self.dyn_params = UnicycleParams.from_config(algo.dynamics)
+        self.normalizer = TrajNormalizer()
+        self.dt = algo.step_time
+        self.collect_step = jax.jit(self._collect_step)
+        self.ppo_update = jax.jit(self._ppo_update)
+        self.test_step = jax.jit(self._test_step)
+
+    # -- experience collection (`guide_dm_trainer.py:84-118`) -----------
+    def decode_samples(self, x0: jnp.ndarray, aux_info, batch_size: int):
+        """Latents -> (descaled, scaled) [B, N, T, 6] trajectories."""
+        cond = aux_info["cond_feat"]
+        actions = self.dm.vae.apply(
+            self.dm.vae_variables, x0, cond, method="decode"
+        )
+        curr_states = aux_info["curr_states"]
+        descaled = convert_action_to_state_and_action(
+            actions, curr_states, self.dyn_params, self.normalizer,
+            self.dt, scaled_input=True, descaled_output=True,
+        )
+        descaled = descaled.reshape(batch_size, self.num_samp, *descaled.shape[1:])
+        scaled = self.normalizer.scale(descaled)
+        return descaled, scaled
+
+    def _collect_step(
+        self,
+        dm_state: train_state.TrainState,
+        buf: ReplayBufferState,
+        batch: TrafficBatch,
+        rng: jax.Array,
+    ) -> Tuple[ReplayBufferState, Dict[str, jnp.ndarray]]:
+        B = batch.image.shape[0]
+        out = self.dm.sample(dm_state, batch, rng, num_samp=self.num_samp)
+        aux = out["aux_info"]
+        aux_rep = {
+            "cond_feat": out["cond_feat"],
+            "curr_states": jnp.repeat(aux["curr_states"], self.num_samp, axis=0),
+        }
+        descaled, scaled = self.decode_samples(out["pred_traj"], aux_rep, B)
+        reward = compute_reward(descaled, batch, scaled, dt=self.dt)
+        buf = buffer_add(
+            buf, out["pred_traj"], out["x1"], out["log_prob_final"], reward,
+            out["cond_feat"],
+        )
+        return buf, {"reward": reward.mean()}
+
+    # -- clipped-surrogate updates (`guide_dm_trainer.py:127-183`) ------
+    def _ppo_update(
+        self, dm_state: train_state.TrainState, buf: ReplayBufferState, rng: jax.Array
+    ) -> Tuple[train_state.TrainState, jnp.ndarray]:
+        n_iters = self.ppo_epochs * self.update_times
+        rngs = jax.random.split(rng, n_iters)
+        schedule = self.dm.schedule
+        denoise = self.dm.denoise_fn
+
+        def body(state, it_rng):
+            idx = jax.random.randint(it_rng, (self.mini_batch,), 0, jnp.maximum(buf.size, 1))
+            x0 = buf.x0[idx]
+            x1 = buf.x1[idx]
+            logp_old = buf.log_p[idx]
+            adv = buf.reward[idx] - buf.baseline
+            cond = buf.cond_feat[idx]
+            t = jnp.zeros((self.mini_batch,), jnp.int32)
+
+            def loss_fn(params):
+                logp_new = transition_log_prob(denoise(params), schedule, x1, x0, cond, t)
+                ratio = jnp.exp(logp_new - logp_old)
+                surr1 = ratio * adv
+                surr2 = jnp.clip(ratio, 1 - self.clip_eps, 1 + self.clip_eps) * adv
+                return -jnp.mean(jnp.minimum(surr1, surr2))
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            state = state.apply_gradients(grads=grads)
+            return state, loss
+
+        dm_state, losses = jax.lax.scan(body, dm_state, rngs)
+        return dm_state, losses.mean()
+
+    # -- eval (`guide_dm_trainer.py:204-295`) ----------------------------
+    def _test_step(self, dm_state, batch: TrafficBatch, rng: jax.Array):
+        """Failure rates + realism statistics for one batch. Wasserstein
+        aggregation across batches happens on the host (eval harness)."""
+        B = batch.image.shape[0]
+        enc_rng, samp_rng = jax.random.split(rng)
+        z_gt, aux = self.dm.encode(batch, enc_rng)
+        out = self.dm.sample(dm_state, batch, samp_rng, num_samp=1)
+        aux_rep = {"cond_feat": out["cond_feat"], "curr_states": aux["curr_states"]}
+        descaled, scaled = self.decode_samples(out["pred_traj"], aux_rep, B)
+        descaled_flat = descaled[:, 0]
+        scaled_flat = scaled[:, 0]
+        rates = failure_rate(descaled_flat, batch)
+
+        from cld_tpu.models.vae import get_state_and_action_from_batch
+
+        gt = get_state_and_action_from_batch(batch, self.dm.algo.horizon, self.dt)
+        gt_scaled = self.normalizer.scale(gt)
+        stats = {
+            "long_acc_gt": gt_scaled[..., 4],
+            "long_acc_pred": scaled_flat[..., 4],
+            "lat_acc_gt": gt_scaled[..., 2] * gt_scaled[..., 5],
+            "lat_acc_pred": scaled_flat[..., 2] * scaled_flat[..., 5],
+        }
+        return rates, stats

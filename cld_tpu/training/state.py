@@ -1,0 +1,72 @@
+"""Train state and optimizer construction.
+
+Optimizer parity with the reference trainers
+(`/root/reference/src/trainers/vae_trainer.py:27-49`,
+`dm_trainer.py:44-68`): torch.optim.Adam with L2 weight_decay (coupled, i.e.
+decay added to the gradient *before* the Adam moments — torch semantics, not
+AdamW), stepped by a per-epoch warmup(10)+cosine LambdaLR.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+
+class TrainStateWithStats(train_state.TrainState):
+    """flax TrainState + BatchNorm running statistics."""
+
+    batch_stats: Any = None
+
+
+def warmup_cosine_by_epoch(
+    base_lr: float, total_epochs: int, steps_per_epoch: int, warmup_epochs: float = 10
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Epoch-granular LambdaLR of the reference: linear 0->1 over
+    warmup_epochs, then cosine to 0 over the remaining epochs. The factor
+    changes only at epoch boundaries (Lightning steps the scheduler per
+    epoch)."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        warm = epoch / max(1, warmup_epochs)
+        progress = (epoch - warmup_epochs) / max(1, total_epochs - warmup_epochs)
+        cos = 0.5 * (1.0 + jnp.cos(math.pi * progress))
+        return base_lr * jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate: float | Callable,
+    weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """torch-Adam-with-weight_decay equivalent: g <- g + wd * p, then Adam."""
+    parts = []
+    if max_grad_norm is not None:
+        parts.append(optax.clip_by_global_norm(max_grad_norm))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
+@struct.dataclass
+class BetaSchedule:
+    """KL weight annealing (`vae_trainer.py:20-24,75-82`): linear
+    0.05 -> 0.3 over 9000 steps, clamped."""
+
+    beta_start: float = 0.05
+    beta_max: float = 0.3
+    anneal_steps: int = 9000
+
+    def __call__(self, step: jnp.ndarray) -> jnp.ndarray:
+        inc = (self.beta_max - self.beta_start) / self.anneal_steps
+        return jnp.minimum(self.beta_start + step * inc, self.beta_max)
