@@ -73,7 +73,9 @@ def sample_traj(
     BN = B * num_samp
 
     rng, init_rng = jax.random.split(rng)
-    x_init = jax.random.normal(init_rng, (BN, horizon, latent_size), cond_feat.dtype)
+    # latents and the scan carry stay float32 even under bf16 conditioning:
+    # the schedule buffers are f32 and the posterior math must not round
+    x_init = jax.random.normal(init_rng, (BN, horizon, latent_size), jnp.float32)
 
     steps = jnp.arange(schedule.n_timesteps - 1, -1, -1)
     step_rngs = jax.random.split(rng, schedule.n_timesteps)
@@ -87,16 +89,18 @@ def sample_traj(
         if guidance_fn is not None:
             mean = guidance_fn(mean, t)
         sigma = jnp.exp(0.5 * log_var)
-        noise = jax.random.normal(step_rng, x.shape, x.dtype)
-        nonzero = (i != 0).astype(x.dtype)
-        x_next = mean + nonzero * sigma * noise
+        noise = jax.random.normal(step_rng, x.shape, jnp.float32)
+        nonzero = (i != 0).astype(jnp.float32)
+        x_next = (mean + nonzero * sigma * noise).astype(jnp.float32)
 
         x1 = jnp.where(i == 1, x_next, x1)
-        step_logp = jnp.mean(normal_log_prob(x_next, mean, sigma), axis=(1, 2))
+        step_logp = jnp.mean(
+            normal_log_prob(x_next, mean, sigma).astype(jnp.float32), axis=(1, 2)
+        )
         logp = jnp.where(i == 0, step_logp, logp)
         return (x_next, x1, logp), None
 
-    init = (x_init, jnp.zeros_like(x_init), jnp.zeros((BN,), cond_feat.dtype))
+    init = (x_init, jnp.zeros_like(x_init), jnp.zeros((BN,), jnp.float32))
     (x0, x1, logp), _ = jax.lax.scan(body, init, (steps, step_rngs))
 
     return {"pred_traj": x0, "x1": x1, "log_prob_final": logp, "cond_feat": cond}

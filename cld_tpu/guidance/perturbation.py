@@ -1,0 +1,148 @@
+"""Perturbation guidance: gradient steering of the sampler.
+
+Capability parity with `PerturbationGuidance`
+(`/root/reference/src/tbsim/utils/guidance_loss.py:2179-2354`) and
+`DiffuserGuidance.compute_guidance_loss` (`:2143-2174`), functional:
+
+* the reference mutates a leaf tensor with `torch.optim.Adam` inside each
+  denoise step; here `perturb` is a pure function (x, ctx) -> x' running
+  `grad_steps` hand-rolled Adam updates via `jax.grad`, so it nests inside
+  the jitted sampling scan;
+* `perturb_th` clipping bounds the *cumulative* delta from the initial
+  value, exactly as the reference clips `x_guidance - x_initial`
+  (`:2274-2279`); a per-step sigma schedule can scale it
+  (`models/diffuser.py:875-905` clean-vs-noisy guidance);
+* a `decode_fn` indirection supports latent-space guidance: the cost is
+  evaluated on the decoded (VAE + unicycle) trajectory while the gradient
+  flows back to the latent (the reference's `decoder` argument, `:2240`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cld_tpu.guidance.losses import GuidanceContext, masked_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceSpec:
+    """One guidance rule: a loss callable + weight + optional agent mask
+    (mirrors `GuidanceConfig`, `guidance_loss.py:104-140`)."""
+
+    loss: Callable
+    weight: float = 1.0
+    agent_mask: Optional[Tuple[bool, ...]] = None  # static [B] mask, None = all
+
+
+def compute_guidance_loss(
+    x_traj: jnp.ndarray, ctx: GuidanceContext, specs: Sequence[GuidanceSpec]
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Weighted sum of per-rule masked means over [B, N, T, 6] trajectories
+    (`DiffuserGuidance.compute_guidance_loss`, `guidance_loss.py:2143-2174`)."""
+    B = x_traj.shape[0]
+    total = jnp.zeros(())
+    per_losses: Dict[str, jnp.ndarray] = {}
+    for i, spec in enumerate(specs):
+        if spec.agent_mask is not None:
+            mask = jnp.asarray(spec.agent_mask)
+        else:
+            mask = jnp.ones((B,), dtype=bool)
+        cur = spec.loss(x_traj, ctx, agt_mask=mask)  # [B, N]
+        per_losses[f"{type(spec.loss).__name__}_{i}"] = cur
+        total = total + masked_mean(cur, mask) * spec.weight
+    return total, per_losses
+
+
+def perturb(
+    x_initial: jnp.ndarray,
+    ctx: GuidanceContext,
+    specs: Sequence[GuidanceSpec],
+    decode_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    lr: float = 0.3,
+    grad_steps: int = 1,
+    perturb_th: Optional[float | jnp.ndarray] = None,
+    optimizer: str = "adam",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Functional Adam/SGD ascent on x minimizing the guidance cost of its
+    decoded trajectory (`PerturbationGuidance.perturb`, `:2221-2282`).
+
+    x_initial can be the sampler's posterior mean over latents ([BN, T, D])
+    or a raw trajectory; decode_fn maps it to [B, N, T, 6] descaled
+    trajectories for the cost.
+    """
+
+    def cost(x):
+        total, _ = compute_guidance_loss(decode_fn(x), ctx, specs)
+        return total
+
+    grad_fn = jax.grad(cost)
+    x = x_initial
+    m = jnp.zeros_like(x_initial)
+    v = jnp.zeros_like(x_initial)
+    for step in range(grad_steps):
+        g = grad_fn(x)
+        if optimizer == "adam":
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g**2
+            m_hat = m / (1 - b1 ** (step + 1))
+            v_hat = v / (1 - b2 ** (step + 1))
+            x = x - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        elif optimizer == "sgd":
+            x = x - lr * g
+        else:
+            raise NotImplementedError(optimizer)
+        if perturb_th is not None:
+            delta = jnp.clip(x - x_initial, -perturb_th, perturb_th)
+            x = x_initial + delta
+    return x
+
+
+def make_perturbation_guidance(
+    ctx: GuidanceContext,
+    specs: Sequence[GuidanceSpec],
+    decode_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    lr: float = 0.3,
+    grad_steps: int = 1,
+    perturb_th: Optional[float] = None,
+    sigma_schedule: Optional[jnp.ndarray] = None,
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Build the guidance_fn hook consumed by `cld_tpu.algos.dm.sample_traj`:
+    (posterior_mean, t) -> perturbed mean.
+
+    sigma_schedule [n_timesteps]: optional per-step scale for perturb_th (the
+    reference scales the clip threshold by the posterior sigma at step t,
+    `models/diffuser.py:884-905`).
+    """
+
+    def guidance_fn(mean: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        th = perturb_th
+        if th is not None and sigma_schedule is not None:
+            th = th * sigma_schedule[t[0]]
+        return perturb(
+            mean, ctx, specs, decode_fn, lr=lr, grad_steps=grad_steps, perturb_th=th
+        )
+
+    return guidance_fn
+
+
+def choose_best_sample(
+    samples: jnp.ndarray, guide_losses: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Filtration: pick the sample with the lowest total guidance loss per
+    agent (`choose_act_using_guide_loss`, `diffuser_helpers.py:762+` /
+    `guidance_loss.py:22`).
+
+    samples [B, N, ...], guide_losses [B, N] -> ([B, ...], [B] indices).
+    """
+    idx = jnp.argmin(guide_losses, axis=-1)  # [B]
+    best = jnp.take_along_axis(
+        samples, idx.reshape((-1, 1) + (1,) * (samples.ndim - 2)), axis=1
+    )[:, 0]
+    return best, idx

@@ -1,0 +1,208 @@
+"""Guidance engine tests: loss semantics, gradients, perturbation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cld_tpu.data.synthetic import synthetic_batch
+from cld_tpu.guidance.losses import (
+    AccLimitLoss,
+    AgentCollisionLoss,
+    GuidanceContext,
+    MapCollisionLoss,
+    SpeedLimitLoss,
+    StopSignLoss,
+    TargetPosAtTimeLoss,
+    TargetPosLoss,
+    TargetSpeedLoss,
+)
+from cld_tpu.guidance.perturbation import (
+    GuidanceSpec,
+    choose_best_sample,
+    compute_guidance_loss,
+    make_perturbation_guidance,
+    perturb,
+)
+from cld_tpu.ops.geometry import world_from_agent_matrix
+
+
+def make_ctx(B=3, raster_size=64, scene_index=None):
+    batch = synthetic_batch(seed=0, batch_size=B, raster_size=raster_size)
+    pos = jnp.zeros((B, 2))
+    yaw = jnp.zeros((B,))
+    return GuidanceContext(
+        drivable_map=batch.drivable_map,
+        raster_from_agent=batch.raster_from_agent,
+        extent=batch.extent,
+        curr_speed=batch.curr_speed,
+        world_from_agent=world_from_agent_matrix(pos, yaw),
+        scene_index=jnp.asarray(scene_index if scene_index is not None else np.zeros(B, np.int32)),
+    )
+
+
+def straight_traj(B=3, N=2, T=52, speed=5.0, y_off=0.0):
+    t = jnp.arange(1, T + 1) * 0.1
+    x = jnp.zeros((B, N, T, 6))
+    x = x.at[..., 0].set(speed * t)
+    x = x.at[..., 1].set(y_off)
+    x = x.at[..., 2].set(speed)
+    return x
+
+
+def test_target_speed_loss():
+    ctx = make_ctx()
+    x = straight_traj(speed=5.0)
+    loss = TargetSpeedLoss(target_speed=np.full(3, 5.0))(x, ctx)
+    np.testing.assert_allclose(np.asarray(loss), 0.0, atol=1e-6)
+    loss2 = TargetSpeedLoss(target_speed=np.full(3, 8.0))(x, ctx)
+    np.testing.assert_allclose(np.asarray(loss2), 3.0, atol=1e-5)
+
+
+def test_speed_and_acc_limits():
+    ctx = make_ctx()
+    x = straight_traj(speed=20.0)
+    assert (np.asarray(SpeedLimitLoss(speed_limit=15.0)(x, ctx)) > 4.9).all()
+    assert (np.asarray(SpeedLimitLoss(speed_limit=25.0)(x, ctx)) == 0).all()
+    x = x.at[..., 4].set(5.0)
+    assert (np.asarray(AccLimitLoss(acc_limit=2.0)(x, ctx)) > 2.9).all()
+
+
+def test_agent_collision_loss_detects_overlap():
+    # two agents in the same scene driving on top of each other
+    ctx = make_ctx(B=2)
+    x = straight_traj(B=2, N=1, speed=5.0)
+    loss_overlap = AgentCollisionLoss()(x, ctx)
+    assert float(loss_overlap.sum()) > 0
+    # separate lanes -> no collision
+    x_sep = x.at[1, ..., 1].set(10.0)
+    loss_sep = AgentCollisionLoss()(x_sep, ctx)
+    np.testing.assert_allclose(np.asarray(loss_sep), 0.0, atol=1e-6)
+    # different scenes -> no collision even when overlapping
+    ctx2 = make_ctx(B=2, scene_index=np.array([0, 1], np.int32))
+    loss_scenes = AgentCollisionLoss()(x, ctx2)
+    np.testing.assert_allclose(np.asarray(loss_scenes), 0.0, atol=1e-6)
+
+
+def test_agent_collision_gradient_separates():
+    ctx = make_ctx(B=2)
+    # slightly offset lanes, still within collision distance (not exactly
+    # coincident — the distance gradient is degenerate at zero separation)
+    x = straight_traj(B=2, N=1, speed=5.0)
+    x = x.at[1, ..., 1].set(1.0)
+
+    def cost(x):
+        return AgentCollisionLoss()(x, ctx).sum()
+
+    g = jax.grad(cost)(x)
+    # gradient on y should push agents apart (nonzero, opposite signs)
+    gy = np.asarray(g[..., 1]).sum(axis=(1, 2))
+    assert abs(gy).max() > 0
+
+
+def test_map_collision_loss():
+    ctx = make_ctx()
+    on_road = straight_traj(y_off=0.0)
+    off_road = straight_traj(y_off=6.9)  # straddles the 7 m road edge
+    l_on = MapCollisionLoss()(on_road, ctx)
+    l_off = MapCollisionLoss()(off_road, ctx)
+    np.testing.assert_allclose(np.asarray(l_on), 0.0, atol=1e-6)
+    assert float(l_off.sum()) > 0
+    # gradient pulls back toward the road (negative y direction)
+    g = jax.grad(lambda x: MapCollisionLoss()(x, ctx).sum())(off_road)
+    assert float(np.asarray(g[..., 1]).sum()) > 0  # dL/dy > 0 => descent lowers y
+
+
+def test_target_pos_losses():
+    ctx = make_ctx()
+    x = straight_traj(speed=5.0)
+    tgt = np.asarray(x[:, 0, 30, :2])  # on-trajectory waypoints
+    l_at = TargetPosAtTimeLoss(target_pos=tgt, target_time=np.full(3, 30))(x, ctx)
+    np.testing.assert_allclose(np.asarray(l_at), 0.0, atol=1e-5)
+    l_any = TargetPosLoss(target_pos=tgt)(x, ctx)
+    assert float(l_any.max()) < 0.1
+
+
+def test_stop_sign_loss():
+    ctx = make_ctx()
+    x = straight_traj(speed=5.0)
+    # stop box around x in [5, 15] m
+    loss = StopSignLoss(
+        stop_box_center=np.tile([10.0, 0.0], (3, 1)),
+        stop_box_dim=np.tile([5.0, 2.0], (3, 1)),
+    )(x, ctx)
+    assert (np.asarray(loss) > 0).all()  # moving at 5 m/s through the box
+
+
+def test_compute_guidance_loss_weights_and_masks():
+    ctx = make_ctx()
+    x = straight_traj(speed=20.0)
+    specs = [
+        GuidanceSpec(SpeedLimitLoss(speed_limit=15.0), weight=2.0),
+        GuidanceSpec(AccLimitLoss(acc_limit=100.0), weight=1.0),
+    ]
+    total, per = compute_guidance_loss(x, ctx, specs)
+    assert len(per) == 2
+    np.testing.assert_allclose(float(total), 2.0 * 5.0, atol=1e-4)
+    # masking agent 0 only
+    specs_masked = [
+        GuidanceSpec(SpeedLimitLoss(speed_limit=15.0), weight=1.0,
+                     agent_mask=(True, False, False)),
+    ]
+    total_m, _ = compute_guidance_loss(x, ctx, specs_masked)
+    np.testing.assert_allclose(float(total_m), 5.0, atol=1e-4)
+
+
+def test_perturb_reduces_cost():
+    ctx = make_ctx()
+    x = straight_traj(speed=20.0)
+    specs = [GuidanceSpec(SpeedLimitLoss(speed_limit=15.0))]
+
+    def decode_fn(z):
+        return z  # identity: guide raw trajectories directly
+
+    x_new = perturb(x, ctx, specs, decode_fn, lr=0.5, grad_steps=5)
+    c0, _ = compute_guidance_loss(x, ctx, specs)
+    c1, _ = compute_guidance_loss(x_new, ctx, specs)
+    assert float(c1) < float(c0)
+
+
+def test_perturb_th_clips_delta():
+    ctx = make_ctx()
+    x = straight_traj(speed=20.0)
+    specs = [GuidanceSpec(SpeedLimitLoss(speed_limit=0.0), weight=100.0)]
+    x_new = perturb(x, ctx, specs, lambda z: z, lr=10.0, grad_steps=3, perturb_th=0.01)
+    assert float(jnp.abs(x_new - x).max()) <= 0.0101
+
+
+def test_guidance_fn_in_sampler():
+    """The perturbation hook works inside the jitted sampling scan."""
+    from cld_tpu.algos.dm import sample_traj
+    from cld_tpu.ops.diffusion import make_schedule
+
+    ctx = make_ctx(B=2)
+    sch = make_schedule(5)
+
+    def decode_fn(z):
+        # treat latents as [B*N, T, 4] -> fake traj [B, N, T, 6]
+        B = 2
+        N = z.shape[0] // B
+        traj = jnp.concatenate([z, jnp.zeros_like(z[..., :2])], axis=-1)
+        return traj.reshape(B, N, *traj.shape[1:])
+
+    specs = [GuidanceSpec(SpeedLimitLoss(speed_limit=0.1))]
+    gfn = make_perturbation_guidance(ctx, specs, decode_fn, lr=0.1, grad_steps=1)
+    dn = lambda x, c, t: jnp.zeros_like(x)
+    out = jax.jit(
+        lambda r: sample_traj(dn, sch, r, jnp.zeros((2, 8)), 52, 4, guidance_fn=gfn)
+    )(jax.random.key(0))
+    assert np.isfinite(np.asarray(out["pred_traj"])).all()
+
+
+def test_choose_best_sample():
+    samples = jnp.arange(2 * 3 * 4).reshape(2, 3, 4).astype(jnp.float32)
+    losses = jnp.array([[3.0, 1.0, 2.0], [0.5, 2.0, 1.0]])
+    best, idx = choose_best_sample(samples, losses)
+    np.testing.assert_array_equal(np.asarray(idx), [1, 0])
+    np.testing.assert_allclose(np.asarray(best[0]), np.asarray(samples[0, 1]))
+    np.testing.assert_allclose(np.asarray(best[1]), np.asarray(samples[1, 0]))
