@@ -32,11 +32,12 @@ def raster_from_agent_matrix(
     raster_size: int = 224, pixel_size: float = 0.5, ego_center=(-0.5, 0.0)
 ) -> np.ndarray:
     """Agent frame -> raster pixel frame, as built by the reference's batch
-    parser (`trajdata_utils.py:385-395`): scale by 1/pixel_size and shift the
-    agent to (0.5 - ego_center) * raster_size."""
+    parser (`trajdata_utils.py:385-395`): scale by 1/pixel_size and place the
+    agent at pixel ((1 + ego_center)/2) * raster_size — e.g. (56, 112) for
+    the 224px config of record, so the road ahead fills the viewport."""
     scale = 1.0 / pixel_size
-    cx = (0.5 - ego_center[0]) * raster_size
-    cy = (0.5 - ego_center[1]) * raster_size
+    cx = (1.0 + ego_center[0]) / 2.0 * raster_size
+    cy = (1.0 + ego_center[1]) / 2.0 * raster_size
     return np.array(
         [[scale, 0.0, cx], [0.0, scale, cy], [0.0, 0.0, 1.0]], dtype=np.float32
     )

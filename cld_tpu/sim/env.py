@@ -1,0 +1,241 @@
+"""On-device closed-loop simulator.
+
+Re-design of `EnvUnifiedSimulation`
+(`/root/reference/src/tbsim/envs/env_trajdata.py:28-519`) + the rollout loop
+(`rollout.py:95-100`, `scene_edit_utils.py:15-160`): the reference
+alternates host-side trajdata scene stepping / numpy observation collation
+with GPU policy inference every frame; here the entire receding-horizon
+rollout — observation rendering (map warp + history rasterization), policy
+sampling, kinematic stepping, and metric accumulation — is one `lax.scan`
+over replan rounds, executed on device with zero host round-trips. This is
+where the reference's dominant closed-loop wall-clock cost disappears
+(SURVEY.md §7 "Host-free closed loop").
+
+Replan cadence mirrors the config of record: the policy plans `horizon=52`
+steps and the simulator consumes `n_step_action=5` per replan over
+`num_simulation_steps=100` frames (`scene_edit_config.py:122-123`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cld_tpu.data.batch import TrafficBatch
+from cld_tpu.ops.dynamics import UnicycleParams, unicycle_step
+from cld_tpu.ops.geometry import (
+    agent_from_world_matrix,
+    raster_from_agent_matrix,
+    transform_points,
+    world_from_agent_matrix,
+)
+from cld_tpu.ops.raster import rasterize_history, warp_to_agent_frame
+from cld_tpu.sim.scene import ScenePack
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    num_simulation_steps: int = 100
+    n_step_action: int = 5
+    hist_frames: int = 30
+    raster_size: int = 224
+    pixel_size: float = 0.5
+    ego_center: Tuple[float, float] = (-0.5, 0.0)
+    dt: float = 0.1
+    collision_thresh: float = 0.8  # center-distance threshold (criticmodel.py:42)
+    dyn: UnicycleParams = UnicycleParams(
+        max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
+    )
+
+    @property
+    def num_replans(self) -> int:
+        return self.num_simulation_steps // self.n_step_action
+
+
+class SimState(NamedTuple):
+    states: jnp.ndarray  # [Na, 4] world (x, y, v, yaw)
+    history: jnp.ndarray  # [Na, Th, 4] world-frame state history (newest last)
+    step: jnp.ndarray  # scalar int32 global frame index
+    offroad_steps: jnp.ndarray  # [Na] accumulated offroad frames
+    collision_steps: jnp.ndarray  # [Na] accumulated in-collision frames
+    max_abs_acc: jnp.ndarray  # [Na] comfort accumulators
+    max_abs_yawvel: jnp.ndarray  # [Na]
+
+
+def init_sim_state(pack: ScenePack, cfg: SimConfig) -> SimState:
+    Na = pack.num_agents
+    Th = cfg.hist_frames + 1
+    # pre-roll history: constant-velocity extrapolation backwards
+    steps_back = jnp.arange(Th - 1, -1, -1, dtype=jnp.float32)
+    dx = pack.init_states[:, 2:3] * cfg.dt * steps_back[None]  # [Na, Th]
+    hx = pack.init_states[:, 0:1] - dx * jnp.cos(pack.init_states[:, 3:4])
+    hy = pack.init_states[:, 1:2] - dx * jnp.sin(pack.init_states[:, 3:4])
+    hist = jnp.stack(
+        [
+            hx,
+            hy,
+            jnp.broadcast_to(pack.init_states[:, 2:3], hx.shape),
+            jnp.broadcast_to(pack.init_states[:, 3:4], hx.shape),
+        ],
+        axis=-1,
+    )
+    return SimState(
+        states=pack.init_states,
+        history=hist,
+        step=jnp.zeros((), jnp.int32),
+        offroad_steps=jnp.zeros((Na,)),
+        collision_steps=jnp.zeros((Na,)),
+        max_abs_acc=jnp.zeros((Na,)),
+        max_abs_yawvel=jnp.zeros((Na,)),
+    )
+
+
+def _drivable_at_world(pack: ScenePack, pos: jnp.ndarray) -> jnp.ndarray:
+    """pos [Na, 2] world -> drivable {0,1} from each agent's scene map."""
+    origin = pack.map_origin[pack.scene_index]  # [Na, 2]
+    wp = (pos - origin) / pack.map_resolution
+    Hw, Ww = pack.world_map.shape[1:3]
+    ix = jnp.clip(jnp.round(wp[..., 0]).astype(jnp.int32), 0, Ww - 1)
+    iy = jnp.clip(jnp.round(wp[..., 1]).astype(jnp.int32), 0, Hw - 1)
+    return pack.world_map[pack.scene_index, iy, ix, 0]
+
+
+def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> TrafficBatch:
+    """World state -> agent-centric TrafficBatch (the on-device equivalent of
+    `EnvUnifiedSimulation.get_observation`, `env_trajdata.py:314-369`)."""
+    Na = pack.num_agents
+    pos = state.states[:, :2]
+    yaw = state.states[:, 3]
+    w_from_a = world_from_agent_matrix(pos, yaw)
+    a_from_w = agent_from_world_matrix(pos, yaw)
+
+    # semantic layers: per-agent egocentric warp of that agent's scene map
+    def warp_one(agent_idx):
+        scene = pack.scene_index[agent_idx]
+        return warp_to_agent_frame(
+            pack.world_map[scene],
+            w_from_a[agent_idx][None],
+            pack.map_resolution,
+            pack.map_origin[scene],
+            cfg.raster_size,
+            cfg.pixel_size,
+            cfg.ego_center,
+        )[0]
+
+    sem = jax.vmap(warp_one)(jnp.arange(Na))  # [Na, H, W, C_sem]
+
+    # histories into each agent's frame
+    hist_world = state.history[:, :, :2]  # [Na, Th, 2]
+    ego_hist = transform_points(hist_world, a_from_w)
+    # neighbors: all agents in the same scene (self included then masked)
+    all_hist = jnp.broadcast_to(hist_world[None], (Na,) + hist_world.shape)  # [Na, Na, Th, 2]
+    neigh_hist = transform_points(
+        all_hist.reshape(Na, -1, 2), a_from_w
+    ).reshape(Na, Na, -1, 2)
+    same_scene = pack.scene_index[:, None] == pack.scene_index[None, :]
+    neigh_mask = same_scene & ~jnp.eye(Na, dtype=bool)  # [Na, Na]
+    Th = hist_world.shape[1]
+    neigh_avail = jnp.broadcast_to(neigh_mask[:, :, None], (Na, Na, Th)).astype(jnp.float32)
+    ego_avail = jnp.ones((Na, Th))
+
+    rfa = jnp.broadcast_to(
+        jnp.asarray(raster_from_agent_matrix(cfg.raster_size, cfg.pixel_size, cfg.ego_center)),
+        (Na, 3, 3),
+    )
+    hist_img = rasterize_history(ego_hist, ego_avail, neigh_hist, neigh_avail, rfa, cfg.raster_size)
+    image = jnp.concatenate([hist_img.transpose(0, 2, 3, 1), sem], axis=-1)  # NHWC
+
+    # ego history yaw in agent frame
+    hist_yaw_agent = state.history[:, :, 3:4] - yaw[:, None, None]
+
+    return TrafficBatch(
+        image=image,
+        drivable_map=sem[..., 0],
+        raster_from_agent=rfa,
+        history_positions=ego_hist,
+        history_yaws=hist_yaw_agent,
+        history_availabilities=ego_avail,
+        curr_speed=state.states[:, 2],
+        target_positions=jnp.zeros((Na, 52, 2)),
+        target_yaws=jnp.zeros((Na, 52, 1)),
+        target_availabilities=jnp.zeros((Na, 52)),
+        extent=pack.extent,
+        all_other_agents_future_positions=jnp.zeros((Na, 1, 52, 2)),
+        all_other_agents_future_availability=jnp.zeros((Na, 1, 52)),
+    )
+
+
+PolicyFn = Callable[[TrafficBatch, jax.Array], jnp.ndarray]
+# (obs, rng) -> actions [Na, T_plan, 2] (acc, yawvel), descaled
+
+
+def _consume_actions(
+    pack: ScenePack, state: SimState, actions: jnp.ndarray, cfg: SimConfig
+) -> SimState:
+    """Advance n_step_action frames (`EnvUnifiedSimulation._step`,
+    `env_trajdata.py:400-478`), with per-frame metric accumulation
+    (`_add_per_step_metrics`, `:371-398`)."""
+
+    def frame(carry, k):
+        st = carry
+        u_policy = actions[:, k]
+        u_replay = jax.lax.dynamic_slice_in_dim(
+            pack.replay_actions, st.step, 1, axis=1
+        )[:, 0]
+        u = jnp.where(pack.controlled_mask[:, None], u_policy, u_replay)
+        new_states = unicycle_step(cfg.dyn, st.states, u, cfg.dt, bound=True)
+
+        # metrics
+        drivable = _drivable_at_world(pack, new_states[:, :2])
+        offroad = (drivable <= 0).astype(jnp.float32)
+        pos = new_states[:, :2]
+        dist = jnp.linalg.norm(pos[:, None] - pos[None], axis=-1)
+        same_scene = pack.scene_index[:, None] == pack.scene_index[None, :]
+        valid_pair = same_scene & ~jnp.eye(pack.num_agents, dtype=bool)
+        lengths = (pack.extent[:, None, 0] + pack.extent[None, :, 0]) / 2.0
+        colliding = jnp.any((dist < lengths * cfg.collision_thresh) & valid_pair, axis=-1)
+
+        history = jnp.concatenate([st.history[:, 1:], new_states[:, None]], axis=1)
+        return (
+            SimState(
+                states=new_states,
+                history=history,
+                step=st.step + 1,
+                offroad_steps=st.offroad_steps + offroad,
+                collision_steps=st.collision_steps + colliding.astype(jnp.float32),
+                max_abs_acc=jnp.maximum(st.max_abs_acc, jnp.abs(u[:, 0])),
+                max_abs_yawvel=jnp.maximum(st.max_abs_yawvel, jnp.abs(u[:, 1])),
+            ),
+            new_states,
+        )
+
+    state, frames = jax.lax.scan(frame, state, jnp.arange(cfg.n_step_action))
+    return state, frames  # frames: [n_step_action, Na, 4]
+
+
+def simulate(
+    pack: ScenePack,
+    policy_fn: PolicyFn,
+    rng: jax.Array,
+    cfg: SimConfig = SimConfig(),
+) -> Tuple[SimState, jnp.ndarray]:
+    """Full receding-horizon rollout as one scan over replan rounds.
+
+    Returns (final SimState, trajectory log [T_sim, Na, 4] world frame).
+    """
+    state = init_sim_state(pack, cfg)
+    replan_rngs = jax.random.split(rng, cfg.num_replans)
+
+    def replan(state, step_rng):
+        obs = render_observation(pack, state, cfg)
+        actions = policy_fn(obs, step_rng)
+        state, frames = _consume_actions(pack, state, actions, cfg)
+        return state, frames
+
+    state, frames = jax.lax.scan(replan, state, replan_rngs)
+    # [num_replans, n_step_action, Na, 4] -> [T_sim, Na, 4]
+    traj = frames.reshape(-1, pack.num_agents, 4)
+    return state, traj

@@ -15,12 +15,13 @@ from cld_tpu.ops.normalization import NUSC_NORM_ADD, NUSC_NORM_DIV, TrajNormaliz
 
 def test_raster_from_agent_default():
     m = raster_from_agent_matrix(224, 0.5, (-0.5, 0.0))
-    # agent origin maps to pixel (224, 112) with ego_center (-0.5, 0)
+    # agent origin maps to pixel (56, 112) with ego_center (-0.5, 0)
+    # (reference formula ((1 + ego_center)/2) * size, trajdata_utils.py:385-395)
     p = transform_points(jnp.zeros((1, 1, 2)), jnp.asarray(m)[None])
-    np.testing.assert_allclose(np.asarray(p)[0, 0], [224.0, 112.0])
+    np.testing.assert_allclose(np.asarray(p)[0, 0], [56.0, 112.0])
     # 1 m ahead = 2 px right
     p = transform_points(jnp.array([[[1.0, 0.0]]]), jnp.asarray(m)[None])
-    np.testing.assert_allclose(np.asarray(p)[0, 0], [226.0, 112.0])
+    np.testing.assert_allclose(np.asarray(p)[0, 0], [58.0, 112.0])
 
 
 def test_transform_points_roundtrip():

@@ -1,0 +1,134 @@
+"""Closed-loop simulator tests: rendering, kinematics, metrics, mock policies.
+
+Mirrors the reference's MockModel pattern
+(`src/l5kit/tests/simulation/unroll_test.py:14-28`): constant-action
+policies drive the closed-loop scan so the environment can be tested exactly
+without a trained model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cld_tpu.ops.raster import rasterize_history, warp_to_agent_frame
+from cld_tpu.ops.geometry import raster_from_agent_matrix, world_from_agent_matrix
+from cld_tpu.sim.env import SimConfig, init_sim_state, render_observation, simulate
+from cld_tpu.sim.metrics import summarize_metrics
+from cld_tpu.sim.scene import synthetic_scene_pack
+
+CFG = SimConfig(num_simulation_steps=20, n_step_action=5, raster_size=64, hist_frames=10)
+
+
+@pytest.fixture(scope="module")
+def pack():
+    return synthetic_scene_pack(seed=0, num_scenes=2, agents_per_scene=3, sim_steps=20)
+
+
+def constant_policy(acc=0.0, yawvel=0.0, T=52):
+    def policy(obs, rng):
+        Na = obs.curr_speed.shape[0]
+        u = jnp.zeros((Na, T, 2))
+        return u.at[..., 0].set(acc).at[..., 1].set(yawvel)
+
+    return policy
+
+
+def test_warp_identity():
+    """Agent at world origin with yaw 0: egocentric warp reproduces the
+    world map around it."""
+    world_map = jnp.zeros((100, 100, 1)).at[:, :, 0].set(
+        jnp.arange(100)[:, None] / 100.0
+    )
+    wfa = world_from_agent_matrix(jnp.zeros((1, 2)), jnp.zeros((1,)))
+    out = warp_to_agent_frame(
+        world_map, wfa, 0.5, jnp.array([-25.0, -25.0]), raster_size=64,
+        pixel_size=0.5, ego_center=(-0.5, 0.0),
+    )
+    assert out.shape == (1, 64, 64, 1)
+    # ego pixel (row 32, col 64-ish) ~ world origin -> value ~ 0.5
+    np.testing.assert_allclose(float(out[0, 32, 60, 0]), 0.5, atol=0.05)
+
+
+def test_rasterize_history_marks():
+    B, S, Th, R = 1, 2, 4, 64
+    rfa = jnp.asarray(raster_from_agent_matrix(R, 0.5, (-0.5, 0.0)))[None]
+    ego = jnp.zeros((B, Th, 2))  # at origin
+    ego_avail = jnp.ones((B, Th))
+    neigh = jnp.tile(jnp.array([[5.0, 0.0]]), (B, S, Th, 1))
+    neigh_avail = jnp.ones((B, S, Th))
+    img = rasterize_history(ego, ego_avail, neigh, neigh_avail, rfa, R)
+    assert img.shape == (B, Th, R, R)
+    # ego at pixel (32, 64... ) value +1; neighbor at +5m -> +10px -> -1
+    ego_px = (int(rfa[0, 1, 2]), int(rfa[0, 0, 2]))
+    assert float(img[0, 0, ego_px[0], ego_px[1]]) == 1.0
+    assert float(img[0, 0, ego_px[0], ego_px[1] + 10]) == -1.0
+    # unavailable neighbors leave no mark
+    img2 = rasterize_history(ego, ego_avail, neigh, jnp.zeros((B, S, Th)), rfa, R)
+    assert float(jnp.sum(img2 == -1.0)) == 0
+
+
+def test_render_observation_shapes(pack):
+    state = init_sim_state(pack, CFG)
+    obs = render_observation(pack, state, CFG)
+    Na = pack.num_agents
+    Th = CFG.hist_frames + 1
+    assert obs.image.shape == (Na, 64, 64, Th + 3)
+    assert obs.drivable_map.shape == (Na, 64, 64)
+    # agents start on the road: drivable under ego pixel
+    ego_px = (int(obs.raster_from_agent[0, 1, 2]), int(obs.raster_from_agent[0, 0, 2]))
+    vals = np.asarray(obs.drivable_map[:, ego_px[0], ego_px[1]])
+    assert (vals > 0).all()
+    np.testing.assert_allclose(np.asarray(obs.curr_speed), np.asarray(pack.init_states[:, 2]))
+    # history is egocentric: last position at origin
+    np.testing.assert_allclose(np.asarray(obs.history_positions[:, -1]), 0.0, atol=1e-4)
+
+
+def test_simulate_straight_stays_on_road(pack):
+    state, traj = jax.jit(
+        lambda rng: simulate(pack, constant_policy(0.0, 0.0), rng, CFG)
+    )(jax.random.key(0))
+    assert traj.shape == (20, pack.num_agents, 4)
+    m = summarize_metrics(pack, state, CFG)
+    assert m["offroad_rate"] == 0.0
+    assert m["num_sim_steps"] == 20
+    # agents actually moved forward
+    dx = np.asarray(traj[-1, :, 0] - traj[0, :, 0])
+    assert (dx > 0).all()
+
+
+def test_simulate_hard_turn_goes_offroad(pack):
+    cfg = SimConfig(num_simulation_steps=40, n_step_action=5, raster_size=64, hist_frames=10)
+    state, _ = simulate(pack, constant_policy(0.0, 1.0), jax.random.key(0), cfg)
+    m = summarize_metrics(pack, state, cfg)
+    assert m["offroad_rate"] > 0.0
+    assert m["comfort_violation_rate"] > 0.0  # yawvel 0.6 is near/over bound
+
+
+def test_replay_agents_ignore_policy(pack):
+    """Replay (non-controlled) agents follow replay_actions regardless of
+    the policy output."""
+    state_a, traj_a = simulate(pack, constant_policy(5.0, 0.0), jax.random.key(0), CFG)
+    state_b, traj_b = simulate(pack, constant_policy(-5.0, 0.0), jax.random.key(0), CFG)
+    replay = ~np.asarray(pack.controlled_mask)
+    np.testing.assert_allclose(
+        np.asarray(traj_a[:, replay]), np.asarray(traj_b[:, replay]), atol=1e-5
+    )
+    controlled = np.asarray(pack.controlled_mask)
+    assert np.abs(np.asarray(traj_a[-1, controlled, 2]) - np.asarray(traj_b[-1, controlled, 2])).max() > 1.0
+
+
+def test_collision_metric_detects_crash():
+    """Two controlled agents in the same lane, rear one much faster."""
+    pack = synthetic_scene_pack(seed=1, num_scenes=1, agents_per_scene=2, sim_steps=40)
+    init = np.array(pack.init_states)
+    init[0] = [0.0, 0.0, 12.0, 0.0]
+    init[1] = [8.0, 0.0, 0.0, 0.0]
+    pack = pack._replace(
+        init_states=jnp.asarray(init),
+        controlled_mask=jnp.ones(2, bool),
+    )
+    cfg = SimConfig(num_simulation_steps=40, n_step_action=5, raster_size=64, hist_frames=10)
+    state, traj = simulate(pack, constant_policy(0.0, 0.0), jax.random.key(0), cfg)
+    m = summarize_metrics(pack, state, cfg)
+    assert m["collision_rate"] > 0.0
