@@ -107,7 +107,7 @@ def main():
             {
                 "metric": "guided_sampling_nfe_per_sec",
                 "value": round(nfe_per_sec, 1),
-                "unit": "NFE/s (full pipeline: raster encode + 100-step scan + decode + reward, batch 128)",
+                "unit": f"NFE/s (full pipeline: raster encode + 100-step scan + decode + reward, batch {BATCH})",
                 "vs_baseline": round(nfe_per_sec / REFERENCE_NFE_PER_SEC_ESTIMATE, 3),
             }
         )
