@@ -58,6 +58,17 @@ def make_optimizer(
     return optax.chain(*parts)
 
 
+def ema_update(ema_params, new_params, decay: float = 0.995):
+    """Exponential moving average of a parameter pytree
+    (`/root/reference/src/tbsim/models/diffuser_helpers.py:909-927` EMA;
+    used by the legacy diffuser algos with periodic refresh)."""
+    import jax
+
+    return jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, new_params
+    )
+
+
 @struct.dataclass
 class BetaSchedule:
     """KL weight annealing (`vae_trainer.py:20-24,75-82`): linear

@@ -1,0 +1,161 @@
+"""Raw-action (CTG-style) diffuser tests + extra dynamics + EMA + timers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cld_tpu.algos.diffuser import (
+    RawActionDiffuser,
+    predict_noise_from_start,
+    predict_start_from_noise,
+    q_posterior,
+    stationary_mask_from_speed,
+)
+from cld_tpu.models.temporal_unet import TemporalMapUnet
+from cld_tpu.ops.diffusion import make_schedule
+from cld_tpu.ops.dynamics import UnicycleParams
+from cld_tpu.ops.dynamics_extra import (
+    BicycleParams,
+    DoubleIntegratorParams,
+    SingleIntegratorParams,
+    bicycle_step,
+    double_integrator_step,
+    single_integrator_step,
+)
+
+DYN = UnicycleParams(max_steer=0.5, max_yawvel=2 * np.pi, acce_lo=-10, acce_hi=8)
+
+
+@pytest.fixture(scope="module")
+def diffuser():
+    net_mod = TemporalMapUnet(transition_dim=6, output_dim=2, dim=8, dim_mults=(2, 4, 8))
+    x = jnp.zeros((2, 52, 6))
+    c = jnp.zeros((2, 16))
+    t = jnp.zeros((2,), jnp.int32)
+    params = net_mod.init(jax.random.key(0), x, c, t)
+
+    def net(traj, cond, t):
+        return net_mod.apply(params, traj, cond, t)
+
+    return RawActionDiffuser(net, make_schedule(10), DYN)
+
+
+def test_noise_start_roundtrip():
+    sch = make_schedule(100)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(3, 5, 2)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=(3, 5, 2)).astype(np.float32))
+    t = jnp.array([5, 50, 95])
+    from cld_tpu.ops.diffusion import q_sample
+
+    x_t = q_sample(sch, x0, t, noise)
+    eps = predict_noise_from_start(sch, x_t, t, x0)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(noise), rtol=1e-2, atol=1e-3)
+    back = predict_start_from_noise(sch, x_t, t, eps)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x0), rtol=1e-2, atol=1e-3)
+
+
+def test_q_posterior_at_t0_returns_x0():
+    sch = make_schedule(100)
+    x0 = jnp.ones((2, 4, 2))
+    x_t = 2 * jnp.ones((2, 4, 2))
+    t = jnp.zeros((2,), jnp.int32)
+    mean, _ = q_posterior(sch, x0, x_t, t)
+    # abar_prev[0] = 1 -> coef1 ~ beta0*1/(1-abar0) ~ 1, coef2 ~ 0
+    np.testing.assert_allclose(np.asarray(mean), 1.0, atol=1e-3)
+
+
+def test_raw_diffuser_loss_and_sample(diffuser):
+    rng = jax.random.key(1)
+    curr = jnp.zeros((2, 4)).at[:, 2].set(5.0)
+    cond = jnp.ones((2, 16))
+    gt = jnp.zeros((2, 52, 6))
+    loss = diffuser.loss(rng, gt, curr, cond)
+    assert np.isfinite(float(loss))
+    out = jax.jit(
+        lambda r: diffuser.sample(r, curr, cond, horizon=52, num_samp=2)
+    )(jax.random.key(2))
+    assert out["trajectories"].shape == (4, 52, 6)
+    assert np.isfinite(np.asarray(out["trajectories"])).all()
+    # dynamic consistency: positions come from integrating the actions
+    from cld_tpu.ops.dynamics import unicycle_forward_dynamics
+
+    states = unicycle_forward_dynamics(
+        DYN, jnp.repeat(curr, 2, axis=0), out["trajectories"][..., 4:6], 0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["trajectories"][..., :4]), np.asarray(states), atol=1e-4
+    )
+
+
+def test_cfg_changes_samples(diffuser):
+    curr = jnp.zeros((2, 4)).at[:, 2].set(5.0)
+    cond = jnp.ones((2, 16))
+    a = diffuser.sample(jax.random.key(3), curr, cond, 52, class_free_guide_w=0.0)
+    b = diffuser.sample(jax.random.key(3), curr, cond, 52, class_free_guide_w=2.0)
+    diff = np.abs(np.asarray(a["actions_scaled"]) - np.asarray(b["actions_scaled"])).max()
+    assert diff > 1e-4
+
+
+def test_stationary_mask_freezes_agents(diffuser):
+    curr = jnp.zeros((2, 4)).at[1, 2].set(8.0)  # agent 0 stationary
+    cond = jnp.ones((2, 16))
+    mask = stationary_mask_from_speed(curr[:, 2])
+    np.testing.assert_array_equal(np.asarray(mask), [True, False])
+    out = diffuser.sample(jax.random.key(4), curr, cond, 52, stationary_mask=mask)
+    acts = np.asarray(out["trajectories"][..., 4:6])
+    # stationary agent's final x0 actions are zeroed each step -> tiny actions
+    assert np.abs(acts[0]).max() < np.abs(acts[1]).max()
+    assert np.abs(acts[0]).max() < 0.2
+
+
+def test_bicycle_step_no_reverse():
+    p = BicycleParams()
+    x = jnp.array([[0.0, 0.0, 0.0, 1.0, 0.0, 4.5]])
+    u = jnp.array([[-100.0, 0.0]])  # huge decel
+    x1 = bicycle_step(p, x, u, 0.1, normalize=False)
+    assert float(x1[0, 3]) == 0.0  # speed clamps at 0, never reverses
+    # normalized controls: sigmoid(0) = 0.5 -> mid-range acc
+    x2 = bicycle_step(p, x, jnp.zeros((1, 2)), 0.1, normalize=True)
+    assert float(x2[0, 3]) != float(x[0, 3])
+    # vehicle length passthrough
+    assert float(x1[0, 5]) == 4.5
+
+
+def test_single_double_integrators():
+    si = SingleIntegratorParams(vbound=((-2.0, 2.0), (-2.0, 2.0)))
+    x = jnp.zeros((3, 2))
+    u = jnp.full((3, 2), 10.0)
+    x1 = single_integrator_step(si, x, u, 0.1)
+    np.testing.assert_allclose(np.asarray(x1), 0.2)  # clipped to 2 m/s
+
+    di = DoubleIntegratorParams(abound=((-1.0, 1.0), (-1.0, 1.0)))
+    x = jnp.zeros((2, 4))
+    u = jnp.full((2, 2), 5.0)
+    x1 = double_integrator_step(di, x, u, 1.0)
+    np.testing.assert_allclose(np.asarray(x1[:, 2:]), 1.0)  # acc clipped
+    np.testing.assert_allclose(np.asarray(x1[:, :2]), 0.5)  # midpoint pos
+
+
+def test_ema_update():
+    from cld_tpu.training.state import ema_update
+
+    ema = {"w": jnp.zeros(3)}
+    new = {"w": jnp.ones(3)}
+    out = ema_update(ema, new, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1)
+
+
+def test_timers():
+    import time
+
+    from cld_tpu.utils.timer import Timers
+
+    t = Timers()
+    with t.timed("x"):
+        time.sleep(0.01)
+    rep = t.report()
+    assert rep["x"]["count"] == 1
+    assert rep["x"]["total"] >= 0.01
+    assert "x:" in str(t)
