@@ -305,6 +305,73 @@ class StopSignLoss:
         return self.scale * jnp.mean(jnp.where(inside, over, 0.0), axis=-1)
 
 
+@dataclasses.dataclass(frozen=True)
+class KeepDistanceLoss:
+    """Keep the distance between two agents inside [min_dist, max_dist]
+    (`guidance_loss.py:1631-1739` keep_distance / gptkeepdistance)."""
+
+    target_ind: int
+    ref_ind: int
+    min_dist: float = 5.0
+    max_dist: float = 15.0
+
+    def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
+        pos_w, _ = _to_world(x, ctx.world_from_agent)
+        d = jnp.linalg.norm(
+            pos_w[self.target_ind] - pos_w[self.ref_ind], axis=-1
+        )  # [N, T]
+        over = jax.nn.relu(d - self.max_dist) + jax.nn.relu(self.min_dist - d)
+        loss = jnp.zeros(x.shape[:2])
+        return loss.at[self.target_ind].set(jnp.mean(over, axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionAttackLoss:
+    """Adversarial: steer the attacker toward colliding with the victim
+    within a time window (`guidance_loss.py:1691-2105` gptcollision-style
+    attack losses, simplified to the core minimize-distance objective)."""
+
+    attacker_ind: int
+    victim_ind: int
+    time_lo: int = 0
+    time_hi: int = 52
+    decay_rate: float = 0.9
+
+    def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
+        pos_w, _ = _to_world(x, ctx.world_from_agent)
+        # victim trajectory is fixed (not steered by the attack)
+        victim = jax.lax.stop_gradient(pos_w[self.victim_ind])
+        d = jnp.linalg.norm(
+            pos_w[self.attacker_ind, :, self.time_lo : self.time_hi]
+            - victim[:, self.time_lo : self.time_hi],
+            axis=-1,
+        )  # [N, Tw]
+        loss = jnp.zeros(x.shape[:2])
+        return loss.at[self.attacker_ind].set(jnp.min(d, axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class SocialGroupLoss:
+    """Agents in a social group stay within a preferred distance of the
+    group (`guidance_loss.py:1137-1213`, cohesion form: penalize deviation
+    of each member's distance-to-centroid from social_dist)."""
+
+    group: Tuple[int, ...]
+    social_dist: float = 2.0
+    cohesion: float = 0.8
+
+    def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
+        pos_w, _ = _to_world(x, ctx.world_from_agent)
+        members = jnp.asarray(self.group)
+        group_pos = pos_w[members]  # [G, N, T, 2]
+        centroid = jnp.mean(group_pos, axis=0, keepdims=True)
+        d = jnp.linalg.norm(group_pos - centroid, axis=-1)  # [G, N, T]
+        dev = jnp.abs(d - self.social_dist) * self.cohesion
+        per_member = jnp.mean(dev, axis=-1)  # [G, N]
+        loss = jnp.zeros(x.shape[:2])
+        return loss.at[members].set(per_member)
+
+
 GUIDANCE_LOSS_MAP = {
     "target_speed": TargetSpeedLoss,
     "agent_collision": AgentCollisionLoss,
@@ -315,6 +382,9 @@ GUIDANCE_LOSS_MAP = {
     "acc_limit": AccLimitLoss,
     "speed_limit": SpeedLimitLoss,
     "stop_sign": StopSignLoss,
+    "keep_distance": KeepDistanceLoss,
+    "collision_attack": CollisionAttackLoss,
+    "social_group": SocialGroupLoss,
 }
 
 

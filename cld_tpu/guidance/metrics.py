@@ -1,0 +1,52 @@
+"""Guidance-satisfaction metrics.
+
+Capability parity with `/root/reference/src/tbsim/utils/guidance_metrics.py:35-930`:
+every guidance rule has a mirror metric that scores the EXECUTED closed-loop
+trajectory (not the plan) so rollouts report how well each rule was actually
+satisfied. Here the mirror is free: the losses are already pure functions of
+trajectories, so the metric is the loss evaluated at N=1 on the executed
+[B, T, 6] world history.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from cld_tpu.guidance.losses import GuidanceContext
+from cld_tpu.guidance.perturbation import GuidanceSpec
+from cld_tpu.ops.dynamics import convert_state_to_state_and_action
+
+
+def executed_traj_from_states(states: jnp.ndarray, dt: float = 0.1) -> jnp.ndarray:
+    """[T, B, 4] simulator log (x, y, v, yaw world) -> [B, 1, T, 6]
+    state+action trajectories for metric evaluation."""
+    xyyaw = jnp.concatenate(
+        [states[..., :2], states[..., 3:4]], axis=-1
+    ).transpose(1, 0, 2)  # [B, T, 3]
+    v0 = states[0, :, 2]
+    sa = convert_state_to_state_and_action(xyyaw, v0, dt)
+    return sa[:, None]  # [B, 1, T, 6]
+
+
+def guidance_metrics(
+    specs: Sequence[GuidanceSpec], executed: jnp.ndarray, ctx: GuidanceContext
+) -> Dict[str, np.ndarray]:
+    """Per-rule satisfaction values on the executed trajectory
+    (`guidance_metrics_from_config`, `guidance_metrics.py:896-930`).
+
+    Returns {rule_name_i: [B] loss value} — 0 means fully satisfied.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for i, spec in enumerate(specs):
+        mask = (
+            jnp.asarray(spec.agent_mask)
+            if spec.agent_mask is not None
+            else jnp.ones((executed.shape[0],), dtype=bool)
+        )
+        val = spec.loss(executed, ctx, agt_mask=mask)[:, 0]  # [B]
+        val = jnp.where(mask, val, jnp.nan)
+        out[f"{type(spec.loss).__name__}_{i}"] = np.asarray(val)
+    return out

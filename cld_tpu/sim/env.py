@@ -232,6 +232,10 @@ def simulate(
     def replan(state, step_rng):
         obs = render_observation(pack, state, cfg)
         actions = policy_fn(obs, step_rng)
+        # policies may return an Action container (cld_tpu.policies) or a
+        # raw [Na, T, 2] (acc, yawvel) array
+        if hasattr(actions, "controls"):
+            actions = actions.controls
         state, frames = _consume_actions(pack, state, actions, cfg)
         return state, frames
 
