@@ -29,10 +29,9 @@ import jax.numpy as jnp
 
 REFERENCE_NFE_PER_SEC_ESTIMATE = 25_000.0
 
-# batch 32 keeps the one-time host->device raster transfer tractable over
-# remote-device transports (the tunnel moves ~220 MB as bf16); NFE/s is
+# batch 128 matches the reference's training batch of record; NFE/s is
 # throughput-normalized so the metric is comparable across batch sizes.
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
 NUM_SAMP = 1
 N_STEPS = 100
 
@@ -83,21 +82,22 @@ def main():
         cfg.algo.cond_feat_dim,
     )
 
-    def one_iter(rng):
-        new_buf, metrics = ppo.collect_step(dm_state, buf, batch, rng)
-        return metrics["reward"]
+    # data flows as jit ARGUMENTS, never closed over: closures would bake the
+    # raster batch into the HLO as a literal (megabytes of constants, and a
+    # hard failure on remote-compile transports)
+    one_iter_jit = ppo.collect_step  # already jitted with explicit args
 
-    one_iter_jit = jax.jit(one_iter)
     # warmup/compile
     t0 = time.perf_counter()
-    one_iter_jit(jax.random.key(10)).block_until_ready()
+    out_buf, metrics = one_iter_jit(dm_state, buf, batch, jax.random.key(10))
+    jax.block_until_ready(metrics["reward"])
     log(f"pipeline compiled+warm in {time.perf_counter() - t0:.1f}s")
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        r = one_iter_jit(jax.random.key(20 + i))
-    r.block_until_ready()
+        out_buf, metrics = one_iter_jit(dm_state, out_buf, batch, jax.random.key(20 + i))
+    jax.block_until_ready(metrics["reward"])
     elapsed = time.perf_counter() - t0
 
     nfe = BATCH * NUM_SAMP * N_STEPS * iters

@@ -49,6 +49,11 @@ class TrafficBatch(NamedTuple):
     all_other_agents_history_positions: Optional[jnp.ndarray] = None
     all_other_agents_history_yaws: Optional[jnp.ndarray] = None
     all_other_agents_history_availability: Optional[jnp.ndarray] = None
+    # world pose (filled by the simulator's renderer; identity for offline
+    # standardized batches): [B, 3, 3], [B, 3, 3], [B]
+    world_from_agent: Optional[jnp.ndarray] = None
+    agent_from_world: Optional[jnp.ndarray] = None
+    scene_index: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:

@@ -341,9 +341,13 @@ class CollisionAttackLoss:
         pos_w, _ = _to_world(x, ctx.world_from_agent)
         # victim trajectory is fixed (not steered by the attack)
         victim = jax.lax.stop_gradient(pos_w[self.victim_ind])
+        # clamp the attack window to the trajectory length (executed
+        # closed-loop trajectories can be shorter than the plan horizon)
+        T = x.shape[-2]
+        lo = min(self.time_lo, T - 1)
+        hi = max(min(self.time_hi, T), lo + 1)
         d = jnp.linalg.norm(
-            pos_w[self.attacker_ind, :, self.time_lo : self.time_hi]
-            - victim[:, self.time_lo : self.time_hi],
+            pos_w[self.attacker_ind, :, lo:hi] - victim[:, lo:hi],
             axis=-1,
         )  # [N, Tw]
         loss = jnp.zeros(x.shape[:2])

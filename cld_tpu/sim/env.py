@@ -165,6 +165,9 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         extent=pack.extent,
         all_other_agents_future_positions=jnp.zeros((Na, 1, 52, 2)),
         all_other_agents_future_availability=jnp.zeros((Na, 1, 52)),
+        world_from_agent=w_from_a,
+        agent_from_world=a_from_w,
+        scene_index=pack.scene_index,
     )
 
 

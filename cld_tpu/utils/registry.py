@@ -1,0 +1,74 @@
+"""Named experiment config registry.
+
+Capability parity with `/root/reference/src/tbsim/configs/registry.py:92-366`
+(a registry of ~40 named experiment configurations): register config-builder
+functions under names and resolve them from CLIs. The shipped entries cover
+the CLD stages of record plus smoke variants; projects add their own with
+`@register_experiment`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from cld_tpu.utils.config import Config, default_config
+
+EXP_CONFIG_REGISTRY: Dict[str, Callable[[], Config]] = {}
+
+
+def register_experiment(name: str):
+    def deco(fn: Callable[[], Config]):
+        EXP_CONFIG_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_registered_experiment_config(name: str) -> Config:
+    """(`registry.py:368+` get_registered_experiment_config)."""
+    if name not in EXP_CONFIG_REGISTRY:
+        raise KeyError(
+            f"unknown experiment {name!r}; registered: {sorted(EXP_CONFIG_REGISTRY)}"
+        )
+    return EXP_CONFIG_REGISTRY[name]().lock()
+
+
+@register_experiment("cld_vae_nusc")
+def _cld_vae():
+    cfg = default_config()
+    cfg.train.mode = "vae"
+    return cfg
+
+
+@register_experiment("cld_dm_nusc")
+def _cld_dm():
+    cfg = default_config()
+    cfg.train.mode = "dm"
+    return cfg
+
+
+@register_experiment("cld_ppo_nusc")
+def _cld_ppo():
+    cfg = default_config()
+    cfg.train.mode = "ppo"
+    return cfg
+
+
+@register_experiment("cld_smoke")
+def _cld_smoke():
+    """Tiny everything — CI / laptop smoke runs."""
+    cfg = default_config()
+    cfg.algo.curr_state_feat_dim = 16
+    cfg.algo.map_feature_dim = 32
+    cfg.algo.cond_feat_dim = 32
+    cfg.algo.base_dim = 8
+    cfg.algo.vae.hidden_size = 16
+    cfg.algo.n_diffusion_steps = 5
+    cfg.train.training.batch_size = 4
+    cfg.train.training.steps_per_epoch = 1
+    cfg.env.rasterizer.raster_size = 64
+    cfg.algo.buffer_max = 64
+    cfg.algo.ppo_update_times = 2
+    cfg.algo.ppo_epochs = 1
+    cfg.algo.ppo_mini_batch = 4
+    return cfg

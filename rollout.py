@@ -66,10 +66,33 @@ def parse_guidance_arg(spec: str):
     return configs
 
 
-def make_dm_policy(cfg, args, pack, sim_cfg):
+def build_guidance_specs(args, pack, sim_cfg, num_agents):
+    """Guidance rules from --guidance configs and/or scene heuristics
+    (`rollout.py:120-302` editing_source config|heuristic)."""
+    specs = []
+    for gc in parse_guidance_arg(args.guidance):
+        params = dict(gc["params"])
+        if gc["name"] == "target_speed":
+            params["target_speed"] = np.full(num_agents, params["target_speed"], np.float32)
+        specs.append(GuidanceSpec(GUIDANCE_LOSS_MAP[gc["name"]](**params), gc["weight"]))
+    if args.editing_source == "heuristic":
+        from cld_tpu.guidance.heuristics import (
+            compute_heuristic_guidance,
+            heuristic_collision_attack,
+        )
+        from cld_tpu.sim.env import init_sim_state
+
+        state0 = init_sim_state(pack, sim_cfg)
+        names = [n for n in args.heuristics.split(",") if n]
+        specs.extend(compute_heuristic_guidance(names, pack, state0))
+        if args.attack_pair:
+            a, v = (int(s) for s in args.attack_pair.split(","))
+            specs.append(heuristic_collision_attack(a, v))
+    return specs
+
+
+def make_dm_policy(cfg, args, pack, sim_cfg, specs):
     """Build the jittable policy: obs -> (guided) latent sampling -> actions."""
-    from cld_tpu.training.dm import DMTrainer
-    from cld_tpu.training.vae import VAETrainer
     from train import _build_dm
     from cld_tpu.data.synthetic import synthetic_batch
 
@@ -81,8 +104,6 @@ def make_dm_policy(cfg, args, pack, sim_cfg):
     dyn = UnicycleParams.from_config(cfg.algo.dynamics)
     normalizer = TrajNormalizer()
     num_samp = args.num_action_samples
-
-    guidance_configs = parse_guidance_arg(args.guidance)
 
     def policy(obs, rng):
         Na = obs.curr_speed.shape[0]
@@ -100,24 +121,17 @@ def make_dm_policy(cfg, args, pack, sim_cfg):
             return traj.reshape(Na, num_samp, *traj.shape[1:])
 
         guidance_fn = None
-        if guidance_configs:
-            specs = []
-            for gc in guidance_configs:
-                params = dict(gc["params"])
-                if gc["name"] == "target_speed":
-                    params["target_speed"] = np.full(Na, params["target_speed"], np.float32)
-                specs.append(
-                    GuidanceSpec(GUIDANCE_LOSS_MAP[gc["name"]](**params), gc["weight"])
-                )
+        if specs:
+            w_from_a = obs.world_from_agent
+            if w_from_a is None:
+                w_from_a = world_from_agent_matrix(jnp.zeros((Na, 2)), jnp.zeros((Na,)))
             ctx = GuidanceContext(
                 drivable_map=obs.drivable_map,
                 raster_from_agent=obs.raster_from_agent,
                 extent=obs.extent,
                 curr_speed=obs.curr_speed,
-                world_from_agent=world_from_agent_matrix(
-                    jnp.zeros((Na, 2)), jnp.zeros((Na,))
-                ),
-                scene_index=pack.scene_index,
+                world_from_agent=w_from_a,
+                scene_index=obs.scene_index if obs.scene_index is not None else pack.scene_index,
             )
             guidance_fn = make_perturbation_guidance(
                 ctx, specs, decode_fn,
@@ -157,10 +171,22 @@ def main():
     parser.add_argument("--num-action-samples", type=int, default=1)
     parser.add_argument("--guidance", type=str, default="",
                         help="e.g. 'speed_limit:15,agent_collision'")
+    parser.add_argument("--editing-source", type=str, default="config",
+                        choices=["config", "heuristic"],
+                        help="heuristic: auto-build guidance from scene state "
+                             "(scene_edit_utils.py:809 compute_heuristic_guidance)")
+    parser.add_argument("--heuristics", type=str,
+                        default="target_speed,agent_collision,map_collision",
+                        help="comma list for --editing-source heuristic")
+    parser.add_argument("--attack-pair", type=str, default=None,
+                        help="'attacker,victim' agent indices for an "
+                             "adversarial collision-attack rule")
     parser.add_argument("--guidance-lr", type=float, default=0.3)
     parser.add_argument("--guidance-steps", type=int, default=1)
     parser.add_argument("--perturb-th", type=float, default=1.0)
     parser.add_argument("--output", type=str, default="rollout_out")
+    parser.add_argument("--render", action="store_true",
+                        help="save scene PNG + GIF renders")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -180,11 +206,13 @@ def main():
         agents_per_scene=args.agents_per_scene,
         sim_steps=args.num_sim_steps,
     )
-    policy = make_dm_policy(cfg, args, pack, sim_cfg)
+    specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
+    policy = make_dm_policy(cfg, args, pack, sim_cfg, specs)
 
     print(
         f"rollout: {pack.num_agents} agents, {sim_cfg.num_replans} replans x "
-        f"{sim_cfg.n_step_action} steps, guidance={args.guidance or 'none'}",
+        f"{sim_cfg.n_step_action} steps, "
+        f"rules={[type(s.loss).__name__ for s in specs] or 'none'}",
         flush=True,
     )
     run = jax.jit(lambda rng: simulate(pack, policy, rng, sim_cfg))
@@ -202,6 +230,34 @@ def main():
     metrics["wall_clock_s"] = steady
     metrics["agent_steps_per_sec"] = agent_steps_per_sec
     metrics["compile_and_first_run_s"] = compile_and_run
+
+    if specs:
+        # per-rule satisfaction on the executed world-frame trajectories
+        # (guidance_metrics.py:896-930 mirror metrics)
+        from cld_tpu.guidance.metrics import executed_traj_from_states, guidance_metrics
+        from cld_tpu.ops.geometry import world_from_agent_matrix as _wfa
+
+        executed = executed_traj_from_states(traj, dt=sim_cfg.dt)
+        Na = pack.num_agents
+        exec_ctx = GuidanceContext(
+            drivable_map=pack.world_map[pack.scene_index, :, :, 0],
+            raster_from_agent=jnp.broadcast_to(
+                jnp.array(
+                    [[1 / pack.map_resolution, 0, -float(pack.map_origin[0, 0]) / pack.map_resolution],
+                     [0, 1 / pack.map_resolution, -float(pack.map_origin[0, 1]) / pack.map_resolution],
+                     [0, 0, 1]], jnp.float32,
+                ),
+                (Na, 3, 3),
+            ),
+            extent=pack.extent,
+            curr_speed=pack.init_states[:, 2],
+            world_from_agent=_wfa(jnp.zeros((Na, 2)), jnp.zeros((Na,))),
+            scene_index=pack.scene_index,
+        )
+        gm = guidance_metrics(specs, executed, exec_ctx)
+        metrics["guidance_satisfaction"] = {
+            k: float(np.nanmean(v)) for k, v in gm.items()
+        }
     print(json.dumps(metrics, indent=2))
 
     os.makedirs(args.output, exist_ok=True)
@@ -212,6 +268,20 @@ def main():
         scene_index=np.asarray(pack.scene_index),
     )
     print(f"saved trajectories -> {args.output}/trajectories.npz")
+
+    if args.render:
+        from cld_tpu.viz.render import render_scene_rollout, save_rollout_gif
+
+        for s in range(args.num_scenes):
+            render_scene_rollout(
+                pack, np.asarray(traj), scene=s,
+                out_path=os.path.join(args.output, f"scene_{s:03d}.png"),
+            )
+            save_rollout_gif(
+                pack, np.asarray(traj),
+                os.path.join(args.output, f"scene_{s:03d}.gif"), scene=s,
+            )
+        print(f"saved renders -> {args.output}/scene_*.png/gif")
 
 
 if __name__ == "__main__":

@@ -199,6 +199,8 @@ def evaluate(cfg, args):
 def main():
     parser = argparse.ArgumentParser(description="cld_tpu trainer")
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--registered-name", type=str, default=None,
+                        help="named experiment config (cld_tpu.utils.registry)")
     parser.add_argument("--mode", type=str, default=None,
                         choices=["vae", "dm", "ppo", "test"])
     parser.add_argument("--output", type=str, default="runs")
@@ -207,7 +209,14 @@ def main():
     parser.add_argument("--dm-ckpt", type=str, default=None)
     args = parser.parse_args()
 
-    cfg = load_config(args.config) if args.config else default_config().lock()
+    if args.registered_name:
+        from cld_tpu.utils.registry import get_registered_experiment_config
+
+        cfg = get_registered_experiment_config(args.registered_name)
+        if args.config:
+            cfg = load_config(args.config, base=cfg.unlock())
+    else:
+        cfg = load_config(args.config) if args.config else default_config().lock()
     mode = args.mode or cfg.train.mode
     print(f"mode={mode} devices={jax.device_count()} backend={jax.default_backend()}")
     if mode == "vae":
