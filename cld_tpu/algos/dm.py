@@ -106,6 +106,60 @@ def sample_traj(
     return {"pred_traj": x0, "x1": x1, "log_prob_final": logp, "cond_feat": cond}
 
 
+def sample_traj_ddim(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    rng: jax.Array,
+    cond_feat: jnp.ndarray,
+    horizon: int,
+    latent_size: int,
+    num_samp: int = 1,
+    num_steps: int = 50,
+    eta: float = 0.0,
+    guidance_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """DDIM sampling over a strided timestep subsequence (Song et al.) — the
+    fast path for BASELINE config 2 (DDIM-50 open-loop sampling): 2x fewer
+    NFE than the DDPM sampler at eta=0 determinism. One lax.scan.
+    """
+    B = cond_feat.shape[0]
+    cond = jnp.repeat(cond_feat, num_samp, axis=0)
+    BN = B * num_samp
+
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, (BN, horizon, latent_size), jnp.float32)
+
+    # strided subsequence T-1 ... 0 with `num_steps` entries
+    ts = jnp.linspace(schedule.n_timesteps - 1, 0, num_steps).round().astype(jnp.int32)
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+    step_rngs = jax.random.split(rng, num_steps)
+
+    abar = jnp.concatenate([schedule.alphas_cumprod, jnp.ones((1,))])  # abar[-1]=1 via index -1
+
+    def body(x, inp):
+        t_i, t_prev, step_rng = inp
+        t = jnp.full((BN,), t_i, jnp.int32)
+        eps_hat = denoise_fn(x, cond, t).astype(jnp.float32)
+        a_t = abar[t_i]
+        a_prev = jnp.where(t_prev >= 0, abar[t_prev], 1.0)
+        x0_hat = (x - jnp.sqrt(1 - a_t) * eps_hat) / jnp.sqrt(a_t)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - a_prev) / (1 - a_t))
+            * jnp.sqrt(1 - a_t / a_prev)
+        )
+        dir_xt = jnp.sqrt(jnp.clip(1 - a_prev - sigma**2, 0.0)) * eps_hat
+        mean = jnp.sqrt(a_prev) * x0_hat + dir_xt
+        if guidance_fn is not None:
+            mean = guidance_fn(mean, t)
+        noise = jax.random.normal(step_rng, x.shape, jnp.float32)
+        nonzero = (t_prev >= 0).astype(jnp.float32)
+        return (mean + nonzero * sigma * noise).astype(jnp.float32), None
+
+    x, _ = jax.lax.scan(body, x, (ts, ts_prev, step_rngs))
+    return {"pred_traj": x, "cond_feat": cond}
+
+
 def transition_log_prob(
     denoise_fn: DenoiseFn,
     schedule: DiffusionSchedule,
