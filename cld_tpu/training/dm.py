@@ -21,7 +21,14 @@ from cld_tpu.data.batch import TrafficBatch
 from cld_tpu.models.temporal_unet import TemporalMapUnet
 from cld_tpu.models.vae import VaeModel
 from cld_tpu.ops.diffusion import make_schedule
-from cld_tpu.training.state import make_optimizer, warmup_cosine_by_epoch
+from cld_tpu.training.state import ema_update, make_optimizer, warmup_cosine_by_epoch
+
+
+class DMTrainState(train_state.TrainState):
+    """TrainState + optional EMA parameter shadow (the reference's diffuser
+    EMA, `diffuser_helpers.py:909`, used by the legacy diffuser algos)."""
+
+    ema_params: Any = None
 
 
 class DMTrainer:
@@ -42,12 +49,23 @@ class DMTrainer:
             dt=algo.step_time,
         )
         self.vae_variables = vae_variables  # frozen: from the VAE checkpoint
-        self.unet = TemporalMapUnet(
-            transition_dim=algo.vae.latent_size,
-            output_dim=algo.vae.latent_size,
-            dim=algo.base_dim,
-            dim_mults=tuple(algo.dim_mults),
-        )
+        arch = algo.get("diffuser_model_arch", "TemporalMapUnet")
+        if arch == "TemporalMapUnet":
+            self.unet = TemporalMapUnet(
+                transition_dim=algo.vae.latent_size,
+                output_dim=algo.vae.latent_size,
+                dim=algo.base_dim,
+                dim_mults=tuple(algo.dim_mults),
+            )
+        elif arch == "MLPResNetwork":
+            from cld_tpu.models.dm_mlp import MLPResDenoiser
+
+            self.unet = MLPResDenoiser(
+                horizon=algo.horizon, transition_dim=algo.vae.latent_size
+            )
+        else:
+            raise ValueError(f"unknown diffuser_model_arch {arch!r}")
+        self.ema_decay = algo.get("ema_decay", None)  # e.g. 0.995 to enable
         self.schedule = make_schedule(algo.n_diffusion_steps)
         opt_cfg = algo.optim_params.dm
         self.lr_schedule = warmup_cosine_by_epoch(
@@ -62,14 +80,17 @@ class DMTrainer:
         self.eval_step = jax.jit(self._eval_step)
 
     # -- state ---------------------------------------------------------
-    def init_state(self, rng: jax.Array) -> train_state.TrainState:
+    def init_state(self, rng: jax.Array) -> DMTrainState:
         def _init(rng):
             z = jnp.zeros((1, self.algo.horizon, self.algo.vae.latent_size))
             cond = jnp.zeros((1, self.algo.cond_feat_dim))
             t = jnp.zeros((1,), dtype=jnp.int32)
             params = self.unet.init(rng, z, cond, t)["params"]
-            return train_state.TrainState.create(
-                apply_fn=self.unet.apply, params=params, tx=self.optimizer
+            return DMTrainState.create(
+                apply_fn=self.unet.apply,
+                params=params,
+                ema_params=params if self.ema_decay else None,
+                tx=self.optimizer,
             )
 
         return jax.jit(_init)(rng)
@@ -100,6 +121,10 @@ class DMTrainer:
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        if self.ema_decay and state.ema_params is not None:
+            new_state = new_state.replace(
+                ema_params=ema_update(state.ema_params, new_state.params, self.ema_decay)
+            )
         return new_state, {"loss": loss, "lr": self.lr_schedule(state.step)}
 
     def _eval_step(self, state, batch: TrafficBatch, rng: jax.Array):
