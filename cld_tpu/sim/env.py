@@ -189,6 +189,9 @@ def _consume_actions(
             pack.replay_actions, st.step, 1, axis=1
         )[:, 0]
         u = jnp.where(pack.controlled_mask[:, None], u_policy, u_replay)
+        # invalid-action guard (`env_trajdata.py:463-468`): NaN controls
+        # freeze the agent instead of corrupting the world state
+        u = jnp.where(jnp.isfinite(u), u, 0.0)
         new_states = unicycle_step(cfg.dyn, st.states, u, cfg.dt, bound=True)
 
         # metrics

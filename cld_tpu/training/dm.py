@@ -125,7 +125,14 @@ class DMTrainer:
             new_state = new_state.replace(
                 ema_params=ema_update(state.ema_params, new_state.params, self.ema_decay)
             )
-        return new_state, {"loss": loss, "lr": self.lr_schedule(state.step)}
+        # non-finite-loss fault guard (see VAETrainer)
+        ok = jnp.isfinite(loss)
+        new_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state)
+        return new_state, {
+            "loss": loss,
+            "lr": self.lr_schedule(state.step),
+            "skipped_nonfinite": (~ok).astype(jnp.float32),
+        }
 
     def _eval_step(self, state, batch: TrafficBatch, rng: jax.Array):
         enc_rng, loss_rng = jax.random.split(rng)

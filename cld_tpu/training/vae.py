@@ -93,7 +93,13 @@ class VAETrainer:
         new_state = state.apply_gradients(
             grads=grads, batch_stats=mutated["batch_stats"]
         )
+        # fault guard: a non-finite loss (bad batch / numeric blow-up) skips
+        # the update instead of poisoning the parameters (the reference has
+        # no recovery story — SURVEY.md §5 failure detection)
+        ok = jnp.isfinite(loss)
+        new_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state)
         metrics = {
+            "skipped_nonfinite": (~ok).astype(jnp.float32),
             "loss": loss,
             "recon": out["recon"],
             "kld": out["kld"],
