@@ -1,0 +1,97 @@
+"""Trajectory GAN baseline.
+
+Capability parity with the rasterized GAN family
+(`/root/reference/src/tbsim/models/rasterized_models.py` GAN model +
+`GAN_regularizer.py`, reachable via the GAN algo `algos/algos.py`): a
+context-conditioned generator (noise -> action sequence -> unicycle
+trajectory) and an MLP discriminator over (scaled trajectory, context),
+trained with the least-squares GAN objective.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cld_tpu.data.batch import TrafficBatch
+from cld_tpu.models.context import ContextEncoder
+from cld_tpu.models.nets import MLP
+from cld_tpu.models.vae import get_state_and_action_from_batch
+from cld_tpu.ops.dynamics import UnicycleParams, unicycle_forward_dynamics
+from cld_tpu.ops.normalization import TrajNormalizer
+
+Dtype = Any
+
+
+class TrajectoryGAN(nn.Module):
+    horizon: int = 52
+    noise_dim: int = 16
+    cond_feat_dim: int = 256
+    map_arch: str = "resnet18"
+    dyn: UnicycleParams = UnicycleParams(
+        max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
+    )
+    dt: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.context_encoder = ContextEncoder(
+            cond_feat_dim=self.cond_feat_dim, map_arch=self.map_arch, dtype=self.dtype
+        )
+        self.generator = MLP(
+            self.horizon * 2, layer_dims=(256, 256), normalization=True, dtype=self.dtype
+        )
+        self.discriminator = MLP(
+            1, layer_dims=(256, 256), normalization=True, dtype=self.dtype
+        )
+
+    def generate(self, batch: TrafficBatch, num_samp: int = 1, train: bool = False):
+        """Noise + context -> [B, N, T, 6] descaled trajectories."""
+        aux = self.context_encoder(batch, train=train)
+        B = aux["cond_feat"].shape[0]
+        z = jax.random.normal(
+            self.make_rng("sample"), (B * num_samp, self.noise_dim), self.dtype
+        )
+        cond = jnp.repeat(aux["cond_feat"], num_samp, axis=0)
+        curr = jnp.repeat(aux["curr_states"], num_samp, axis=0)
+        actions_scaled = self.generator(
+            jnp.concatenate([z, cond], axis=-1)
+        ).reshape(-1, self.horizon, 2)
+        normalizer = TrajNormalizer()
+        actions = normalizer.descale(actions_scaled, [4, 5])
+        states = unicycle_forward_dynamics(self.dyn, curr, actions, self.dt)
+        traj = jnp.concatenate([states, actions], axis=-1)
+        return traj.reshape(B, num_samp, self.horizon, 6), aux
+
+    def discriminate(self, traj_scaled: jnp.ndarray, cond_feat: jnp.ndarray):
+        """[B, T, 6] scaled + [B, C] -> logits [B]."""
+        flat = traj_scaled.reshape(traj_scaled.shape[0], -1)
+        return self.discriminator(jnp.concatenate([flat, cond_feat], axis=-1))[:, 0]
+
+    def __call__(self, batch: TrafficBatch, train: bool = False) -> Dict[str, jnp.ndarray]:
+        """LSGAN losses for one batch (generator and discriminator views)."""
+        fake_traj, aux = self.generate(batch, num_samp=1, train=train)
+        fake_traj = fake_traj[:, 0]
+        normalizer = TrajNormalizer()
+        fake_scaled = normalizer.scale(fake_traj)
+        gt = get_state_and_action_from_batch(batch, self.horizon, self.dt)
+        real_scaled = normalizer.scale(gt)
+
+        d_real = self.discriminate(real_scaled, aux["cond_feat"])
+        d_fake = self.discriminate(fake_scaled, aux["cond_feat"])
+
+        # least-squares GAN: D pushes real->1, fake->0; G pushes fake->1.
+        # Gradient routing happens at the trainer: take grads of d_loss wrt
+        # discriminator params and of g_loss wrt generator params.
+        d_loss = 0.5 * jnp.mean((d_real - 1.0) ** 2) + 0.5 * jnp.mean(d_fake**2)
+        g_loss = 0.5 * jnp.mean((d_fake - 1.0) ** 2)
+        return {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "trajectories": fake_traj,
+            "d_real_mean": jnp.mean(d_real),
+            "d_fake_mean": jnp.mean(d_fake),
+        }
