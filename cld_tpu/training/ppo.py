@@ -110,7 +110,11 @@ class PPOTrainer:
         self.dyn_params = UnicycleParams.from_config(algo.dynamics)
         self.normalizer = TrajNormalizer()
         self.dt = algo.step_time
-        self.collect_step = jax.jit(self._collect_step)
+        # donate the replay buffer: consumed and re-emitted every collect, so
+        # XLA reuses its HBM instead of double-buffering it. Train states are
+        # NOT donated — callers legitimately keep old states (eval, EMA
+        # comparisons), and donation would invalidate them.
+        self.collect_step = jax.jit(self._collect_step, donate_argnums=(1,))
         self.ppo_update = jax.jit(self._ppo_update)
         self.test_step = jax.jit(self._test_step)
 
