@@ -10,9 +10,12 @@ PPO collection step (`guide_dm_trainer.py:84-118`): context encoding
 
 The reference publishes no absolute throughput (BASELINE.md); `vs_baseline`
 is reported against a documented engineering estimate of the reference's
-torch GPU path on the same workload: ~25k NFE/s (batch-128 TemporalMapUnet
+torch GPU path: ~25k NFE/s for the UNGUIDED batch-128 loop (TemporalMapUnet
 forward ~= 5 ms on an A100-class GPU, sequential 100-step Python loop,
-ignoring its per-step host sync overheads — i.e. a charitable estimate).
+ignoring per-step host syncs). The guided reference path (Adam perturbation
++ decoder backward per step, guidance_loss.py:2221-2282) is several times
+slower than that, so dividing our GUIDED throughput by the UNGUIDED estimate
+under-states the true ratio — i.e. this is a charitable baseline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -76,28 +79,76 @@ def main():
         dtype=compute_dtype,
     )
     dm_state = dm_trainer.init_state(jax.random.key(2))
-    ppo = PPOTrainer(cfg, dm_trainer)
-    buf = buffer_init(
-        cfg.algo.buffer_max, cfg.algo.horizon, cfg.algo.vae.latent_size,
-        cfg.algo.cond_feat_dim,
-    )
 
-    # data flows as jit ARGUMENTS, never closed over: closures would bake the
-    # raster batch into the HLO as a literal (megabytes of constants, and a
-    # hard failure on remote-compile transports)
-    one_iter_jit = ppo.collect_step  # already jitted with explicit args
+    # test-time guidance wired into the 100-step sampling scan: one Adam
+    # grad step per denoise step, cost evaluated through the frozen VAE
+    # decoder + unicycle (the reference's per-step perturbation,
+    # guidance_loss.py:2221-2282) — this is the "guided" in the metric name.
+    # Data flows as jit ARGUMENTS, never closed over: closures would bake the
+    # raster batch into the HLO as a literal (a hard failure on remote-
+    # compile transports).
+    from cld_tpu.algos.dm import sample_traj
+    from cld_tpu.algos.reward import compute_reward
+    from cld_tpu.data.batch import get_current_states
+    from cld_tpu.guidance.losses import GuidanceContext, SpeedLimitLoss
+    from cld_tpu.guidance.perturbation import GuidanceSpec, make_perturbation_guidance
+    from cld_tpu.models.vae import convert_action_to_state_and_action
+    from cld_tpu.ops.dynamics import UnicycleParams
+    from cld_tpu.ops.geometry import world_from_agent_matrix
+    from cld_tpu.ops.normalization import TrajNormalizer
+
+    dyn = UnicycleParams.from_config(cfg.algo.dynamics)
+    normalizer = TrajNormalizer()
+
+    def guided_collect(dm_state_params, batch, rng):
+        enc_rng, samp_rng = jax.random.split(rng)
+        _, aux = dm_trainer.encode(batch, enc_rng)
+        curr = get_current_states(batch)
+
+        def decode_fn(z):
+            acts = dm_trainer.vae.apply(
+                dm_trainer.vae_variables, z, aux["cond_feat"], method="decode"
+            )
+            traj = convert_action_to_state_and_action(
+                acts, curr, dyn, normalizer, descaled_output=True
+            )
+            return traj[:, None]
+
+        ctx = GuidanceContext(
+            drivable_map=batch.drivable_map,
+            raster_from_agent=batch.raster_from_agent,
+            extent=batch.extent,
+            curr_speed=batch.curr_speed,
+            world_from_agent=world_from_agent_matrix(
+                jnp.zeros((BATCH, 2)), jnp.zeros((BATCH,))
+            ),
+            scene_index=jnp.arange(BATCH),
+        )
+        gfn = make_perturbation_guidance(
+            ctx, [GuidanceSpec(SpeedLimitLoss(speed_limit=15.0))], decode_fn,
+            lr=0.3, grad_steps=1, perturb_th=1.0,
+        )
+        out = sample_traj(
+            dm_trainer.denoise_fn(dm_state_params), dm_trainer.schedule, samp_rng,
+            aux["cond_feat"], cfg.algo.horizon, cfg.algo.vae.latent_size,
+            num_samp=NUM_SAMP, guidance_fn=gfn,
+        )
+        traj = decode_fn(out["pred_traj"])
+        return compute_reward(traj, batch, normalizer.scale(traj)).mean()
+
+    one_iter_jit = jax.jit(lambda p, b, r: guided_collect(p, b, r))
 
     # warmup/compile
     t0 = time.perf_counter()
-    out_buf, metrics = one_iter_jit(dm_state, buf, batch, jax.random.key(10))
-    jax.block_until_ready(metrics["reward"])
+    r = one_iter_jit(dm_state.params, batch, jax.random.key(10))
+    jax.block_until_ready(r)
     log(f"pipeline compiled+warm in {time.perf_counter() - t0:.1f}s")
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        out_buf, metrics = one_iter_jit(dm_state, out_buf, batch, jax.random.key(20 + i))
-    jax.block_until_ready(metrics["reward"])
+        r = one_iter_jit(dm_state.params, batch, jax.random.key(20 + i))
+    jax.block_until_ready(r)
     elapsed = time.perf_counter() - t0
 
     nfe = BATCH * NUM_SAMP * N_STEPS * iters
@@ -107,7 +158,10 @@ def main():
             {
                 "metric": "guided_sampling_nfe_per_sec",
                 "value": round(nfe_per_sec, 1),
-                "unit": f"NFE/s (full pipeline: raster encode + 100-step scan + decode + reward, batch {BATCH})",
+                "unit": (
+                    f"NFE/s (raster encode + 100-step scan with per-step "
+                    f"decoder-gradient guidance + decode + reward, batch {BATCH})"
+                ),
                 "vs_baseline": round(nfe_per_sec / REFERENCE_NFE_PER_SEC_ESTIMATE, 3),
             }
         )
