@@ -139,16 +139,32 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 perturb_th=args.perturb_th,
             )
 
-        out = sample_traj(
-            dm_trainer.denoise_fn(dm_state.params),
-            dm_trainer.schedule,
-            samp_rng,
-            aux["cond_feat"],
-            cfg.algo.horizon,
-            cfg.algo.vae.latent_size,
-            num_samp=num_samp,
-            guidance_fn=guidance_fn,
-        )
+        if args.sampler == "ddim":
+            from cld_tpu.algos.dm import sample_traj_ddim
+
+            out = sample_traj_ddim(
+                dm_trainer.denoise_fn(dm_state.params),
+                dm_trainer.schedule,
+                samp_rng,
+                aux["cond_feat"],
+                cfg.algo.horizon,
+                cfg.algo.vae.latent_size,
+                num_samp=num_samp,
+                num_steps=args.ddim_steps,
+                eta=args.ddim_eta,
+                guidance_fn=guidance_fn,
+            )
+        else:
+            out = sample_traj(
+                dm_trainer.denoise_fn(dm_state.params),
+                dm_trainer.schedule,
+                samp_rng,
+                aux["cond_feat"],
+                cfg.algo.horizon,
+                cfg.algo.vae.latent_size,
+                num_samp=num_samp,
+                guidance_fn=guidance_fn,
+            )
         traj = decode_fn(out["pred_traj"])  # [Na, N, T, 6] descaled
         # take the first sample (filtration hook: choose_best_sample on
         # guidance losses; N=1 by default as in config num_samp)
@@ -169,6 +185,9 @@ def main():
     parser.add_argument("--n-step-action", type=int, default=5)
     parser.add_argument("--raster-size", type=int, default=None)
     parser.add_argument("--num-action-samples", type=int, default=1)
+    parser.add_argument("--sampler", type=str, default="ddpm", choices=["ddpm", "ddim"])
+    parser.add_argument("--ddim-steps", type=int, default=50)
+    parser.add_argument("--ddim-eta", type=float, default=0.0)
     parser.add_argument("--guidance", type=str, default="",
                         help="e.g. 'speed_limit:15,agent_collision'")
     parser.add_argument("--editing-source", type=str, default="config",
