@@ -245,6 +245,22 @@ def main():
     steady = time.perf_counter() - t0
 
     metrics = summarize_metrics(pack, state, sim_cfg)
+
+    # occupancy-grid metrics over the executed rollout (env_metrics.py:977+)
+    from cld_tpu.sim.occupancy import occupancy_init, occupancy_metrics, occupancy_update
+
+    Hw = pack.world_map.shape[1]
+    world_extent = Hw * pack.map_resolution
+    occ = occupancy_init(
+        origin=(float(pack.map_origin[0, 0]), float(pack.map_origin[0, 1])),
+        size=(Hw // 2, Hw // 2), step=2 * pack.map_resolution, sigma=1.0,
+    )
+    occ = occupancy_update(occ, np.asarray(traj)[:, :, :2].reshape(-1, 2))
+    metrics.update(
+        occupancy_metrics(occ, pack.world_map[0, :, :, 0], pack.map_origin[0],
+                          pack.map_resolution)
+    )
+
     agent_steps_per_sec = pack.num_agents * sim_cfg.num_simulation_steps / steady
     metrics["wall_clock_s"] = steady
     metrics["agent_steps_per_sec"] = agent_steps_per_sec
