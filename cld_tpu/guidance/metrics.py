@@ -17,17 +17,27 @@ import numpy as np
 
 from cld_tpu.guidance.losses import GuidanceContext
 from cld_tpu.guidance.perturbation import GuidanceSpec
-from cld_tpu.ops.dynamics import convert_state_to_state_and_action
+from cld_tpu.ops.dynamics import angle_diff
 
 
 def executed_traj_from_states(states: jnp.ndarray, dt: float = 0.1) -> jnp.ndarray:
     """[T, B, 4] simulator log (x, y, v, yaw world) -> [B, 1, T, 6]
-    state+action trajectories for metric evaluation."""
-    xyyaw = jnp.concatenate(
-        [states[..., :2], states[..., 3:4]], axis=-1
-    ).transpose(1, 0, 2)  # [B, T, 3]
-    v0 = states[0, :, 2]
-    sa = convert_state_to_state_and_action(xyyaw, v0, dt)
+    state+action trajectories for metric evaluation.
+
+    Velocity and yaw come straight from the simulator state (they are
+    exact); acc/yawvel are finite differences of those channels. Positions
+    stay world-frame — rules evaluated on executed trajectories use an
+    identity world_from_agent. (Inverse dynamics on the world-frame
+    positions would pre-pad a zero pose as the 'origin' and fabricate huge
+    first-step velocities.)
+    """
+    s = states.transpose(1, 0, 2)  # [B, T, 4]
+    v = s[..., 2:3]
+    yaw = s[..., 3:4]
+    acc = jnp.diff(v, axis=-2, prepend=v[..., :1, :]) / dt
+    yawvel = angle_diff(yaw[..., 1:, :], yaw[..., :-1, :]) / dt
+    yawvel = jnp.concatenate([yawvel[..., :1, :] * 0, yawvel], axis=-2)
+    sa = jnp.concatenate([s[..., :2], v, yaw, acc, yawvel], axis=-1)
     return sa[:, None]  # [B, 1, T, 6]
 
 

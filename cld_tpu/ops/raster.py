@@ -44,8 +44,10 @@ def warp_to_agent_frame(
     """
     H = W = raster_size
     scale = 1.0 / pixel_size
-    cx = (0.5 - ego_center[0]) * raster_size
-    cy = (0.5 - ego_center[1]) * raster_size
+    # same ego-center convention as raster_from_agent_matrix (and the
+    # reference, trajdata_utils.py:385-395): agent at ((1+e)/2)*size
+    cx = (1.0 + ego_center[0]) / 2.0 * raster_size
+    cy = (1.0 + ego_center[1]) / 2.0 * raster_size
     xs = (jnp.arange(W, dtype=jnp.float32) - cx) / scale
     ys = (jnp.arange(H, dtype=jnp.float32) - cy) / scale
     gx, gy = jnp.meshgrid(xs, ys)  # [H, W] agent-frame meters

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,11 +58,21 @@ def lattice_planner_policy(cfg: LatticePlannerConfig = LatticePlannerConfig()):
         T = cfg.horizon
         curr = get_current_states(obs)  # [B, 4]
 
-        # candidate actions [B, K, T, 2]: P-control acc toward target speed,
-        # constant yaw rate (kinematically bounded by the integrator)
-        v0 = curr[:, 2][:, None]  # [B, 1]
-        acc0 = cfg.speed_gain * (tgt_speeds[None] - v0)  # [B, K]
-        acc = jnp.clip(acc0, cfg.dyn.acce_lo, cfg.dyn.acce_hi)
+        # candidate accelerations [B, K, T]: the P-controller toward the
+        # target speed is rolled forward over the horizon (1-D speed scan),
+        # so a 'stop' candidate actually stops instead of holding the t=0
+        # deceleration and reversing
+        v0 = jnp.broadcast_to(curr[:, 2][:, None], (B, K))
+
+        def speed_step(v, _):
+            a = jnp.clip(
+                cfg.speed_gain * (tgt_speeds[None] - v), cfg.dyn.acce_lo, cfg.dyn.acce_hi
+            )
+            v_next = jnp.clip(v + a * cfg.dt, cfg.dyn.v_lo, cfg.dyn.v_hi)
+            return v_next, a
+
+        _, acc_profile = jax.lax.scan(speed_step, v0, None, length=T)  # [T, B, K]
+        acc = acc_profile.transpose(1, 2, 0)  # [B, K, T]
         # lateral candidates are lane nudges, not circles: yaw-rate applied
         # for the first quarter of the horizon, then counter-steered back to
         # the original heading over the second quarter
@@ -71,7 +82,7 @@ def lattice_planner_policy(cfg: LatticePlannerConfig = LatticePlannerConfig()):
         )  # net heading change ~0
         actions = jnp.stack(
             [
-                jnp.broadcast_to(acc[..., None], (B, K, T)),
+                acc,
                 jnp.broadcast_to(
                     yawvels[None, :, None] * yaw_profile[None, None, :], (B, K, T)
                 ),

@@ -45,7 +45,11 @@ class SimConfig:
     pixel_size: float = 0.5
     ego_center: Tuple[float, float] = (-0.5, 0.0)
     dt: float = 0.1
-    collision_thresh: float = 0.8  # center-distance threshold (criticmodel.py:42)
+    # scale on the summed vehicle half-lengths for the center-distance
+    # collision test — the disk approximation of DiskCollisionRate
+    # (env_metrics.py:489), NOT the PPO reward's absolute 0.8 m threshold
+    # (that one lives in algos/reward.py)
+    collision_thresh: float = 0.8
     dyn: UnicycleParams = UnicycleParams(
         max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
     )

@@ -22,7 +22,10 @@ class OccupancyGridState(NamedTuple):
     grid: jnp.ndarray  # [Hg, Wg] accumulated kernel mass
     origin: jnp.ndarray  # [2] world coords of cell (0, 0)
     step: float  # meters per cell (static)
-    sigma: float  # RBF std (static)
+    # kernel scale: mass decays as exp(-d^2 / (2*sigma)) — sigma acts as the
+    # VARIANCE, matching the reference's kernel exactly
+    # (env_metrics.py:1009 `np.exp(-||d||**2/2/self.sigma)`)
+    sigma: float
 
 
 def occupancy_init(

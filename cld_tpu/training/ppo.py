@@ -195,8 +195,11 @@ class PPOTrainer:
         B = batch.image.shape[0]
         enc_rng, samp_rng = jax.random.split(rng)
         z_gt, aux = self.dm.encode(batch, enc_rng)
-        out = self.dm.sample(dm_state, batch, samp_rng, num_samp=1)
-        aux_rep = {"cond_feat": out["cond_feat"], "curr_states": aux["curr_states"]}
+        out = self.dm.sample(dm_state, batch, samp_rng, num_samp=self.num_samp)
+        aux_rep = {
+            "cond_feat": out["cond_feat"],
+            "curr_states": jnp.repeat(aux["curr_states"], self.num_samp, axis=0),
+        }
         descaled, scaled = self.decode_samples(out["pred_traj"], aux_rep, B)
         descaled_flat = descaled[:, 0]
         scaled_flat = scaled[:, 0]

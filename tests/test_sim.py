@@ -46,8 +46,30 @@ def test_warp_identity():
         pixel_size=0.5, ego_center=(-0.5, 0.0),
     )
     assert out.shape == (1, 64, 64, 1)
-    # ego pixel (row 32, col 64-ish) ~ world origin -> value ~ 0.5
-    np.testing.assert_allclose(float(out[0, 32, 60, 0]), 0.5, atol=0.05)
+    # ego pixel = ((1+e)/2)*size = (col 16, row 32) ~ world origin -> 0.5
+    np.testing.assert_allclose(float(out[0, 32, 16, 0]), 0.5, atol=0.05)
+
+
+def test_warp_aligns_with_raster_from_agent():
+    """Regression: the warped map and raster_from_agent must share the
+    ego-center convention — a world marker under the agent appears exactly
+    at the raster_from_agent pixel of the agent origin."""
+    world_map = jnp.zeros((128, 128, 1))
+    origin = jnp.array([-32.0, -32.0])
+    res = 0.5
+    agent_pos = jnp.array([[7.0, -3.0]])
+    agent_yaw = jnp.array([0.4])
+    # marker at the agent's world position
+    mi = ((agent_pos[0] - origin) / res).astype(int)
+    world_map = world_map.at[int(mi[1]), int(mi[0]), 0].set(1.0)
+    wfa = world_from_agent_matrix(agent_pos, agent_yaw)
+    out = warp_to_agent_frame(world_map, wfa, res, origin, raster_size=64,
+                              pixel_size=0.5, ego_center=(-0.5, 0.0))
+    rfa = raster_from_agent_matrix(64, 0.5, (-0.5, 0.0))
+    px, py = int(rfa[0, 2]), int(rfa[1, 2])
+    # marker is within one pixel of the expected ego pixel
+    patch = np.asarray(out[0, py - 1 : py + 2, px - 1 : px + 2, 0])
+    assert patch.max() == 1.0
 
 
 def test_rasterize_history_marks():

@@ -181,14 +181,15 @@ def evaluate(cfg, args):
         rng, step_rng = jax.random.split(rng)
         rates, stats = ppo.test_step(dm_state, batch, step_rng)
         all_rates.append({k: float(v) for k, v in rates.items()})
-        all_stats.append({k: np.asarray(v).ravel() for k, v in stats.items()})
+        # keep [B, T] shape: jerk is differenced along T per agent, so
+        # flattening here would create spurious cross-agent jerk samples
+        all_stats.append({k: np.asarray(v) for k, v in stats.items()})
         batch = shard_batch(next(it), mesh)
     agg_rates = {
         k: float(np.mean([r[k] for r in all_rates])) for k in all_rates[0]
     }
     merged = {
-        k: np.concatenate([s[k] for s in all_stats]).reshape(len(all_stats), -1)
-        for k in all_stats[0]
+        k: np.concatenate([s[k] for s in all_stats], axis=0) for k in all_stats[0]
     }
     realism = realism_deviation(merged, dt=cfg.algo.step_time)
     result = {**agg_rates, **realism}
