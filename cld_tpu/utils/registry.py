@@ -71,4 +71,8 @@ def _cld_smoke():
     cfg.algo.ppo_update_times = 2
     cfg.algo.ppo_epochs = 1
     cfg.algo.ppo_mini_batch = 4
+    cfg.algo.scene_width = 32
+    cfg.algo.scene_layers = 2
+    cfg.algo.scene_cond_dim = 16
+    cfg.algo.history_num_frames = 8
     return cfg

@@ -164,6 +164,38 @@ def train_ppo(cfg, args):
     print(f"ppo done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
 
 
+def train_scene_dm(cfg, args):
+    """Scene-centric diffusion stage (CTG++ family) on synthetic scene
+    batches (nuScenes scene shards via the converter when available)."""
+    from cld_tpu.data.scene_batch import synthetic_scene_batch
+    from cld_tpu.training.scene_dm import SceneDMTrainer
+
+    out_dir = os.path.join(args.output, "scene_dm")
+    logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
+    trainer = SceneDMTrainer(cfg)
+    batches = [
+        synthetic_scene_batch(
+            seed=i,
+            batch_size=max(1, cfg.train.training.batch_size // 8),
+            num_agents=8,
+            hist_frames=cfg.algo.history_num_frames,
+            horizon=cfg.algo.future_num_frames,
+        )
+        for i in range(4)
+    ]
+    state = trainer.init_state(jax.random.key(cfg.seed), batches[0])
+    rng = jax.random.key(cfg.seed + 6)
+    num_steps = args.steps or cfg.train.training.num_steps
+    t0 = time.time()
+    for step in range(num_steps):
+        state, metrics = trainer.train_step(state, batches[step % len(batches)], rng)
+        logger.log(step, metrics)
+        if cfg.train.save.enabled and (step + 1) % cfg.train.save.every_n_steps == 0:
+            save_pytree(os.path.join(out_dir, f"ckpt_{step + 1}"), {"params": state.params})
+    save_pytree(os.path.join(out_dir, "ckpt_final"), {"params": state.params})
+    print(f"scene_dm done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
+
+
 def evaluate(cfg, args):
     """Open-loop test: failure rates + Wasserstein realism
     (`guide_dm_trainer.py:204-295`)."""
@@ -203,7 +235,7 @@ def main():
     parser.add_argument("--registered-name", type=str, default=None,
                         help="named experiment config (cld_tpu.utils.registry)")
     parser.add_argument("--mode", type=str, default=None,
-                        choices=["vae", "dm", "ppo", "test"])
+                        choices=["vae", "dm", "ppo", "test", "scene_dm"])
     parser.add_argument("--output", type=str, default="runs")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--vae-ckpt", type=str, default=None)
@@ -226,6 +258,8 @@ def main():
         train_dm(cfg, args)
     elif mode == "ppo":
         train_ppo(cfg, args)
+    elif mode == "scene_dm":
+        train_scene_dm(cfg, args)
     elif mode == "test":
         evaluate(cfg, args)
 
