@@ -55,6 +55,7 @@ def sample_traj(
     latent_size: int,
     num_samp: int = 1,
     guidance_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+    guidance_stride: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Full ancestral sampling as one lax.scan (`dm_model.py:103-142`).
 
@@ -62,6 +63,12 @@ def sample_traj(
         cond_feat: [B, C] conditioning; internally repeated to [B*N, C].
         guidance_fn: optional (x, t) -> perturbed posterior-mean hook used by
             the test-time guidance engine (see cld_tpu.guidance).
+        guidance_stride: apply the guidance hook only every k-th denoise step
+            (and always at the final steps t < stride) — the reference's
+            per-step application stride (`scene_edit_config.py:73-92`
+            guidance_optimization_params / apply_guidance_intermediate). A
+            lax.cond skips the whole perturbation (decoder + gradient) on
+            non-guided steps.
     Returns dict with:
         pred_traj  [B*N, T, D]  final x_0
         x1         [B*N, T, D]  state recorded after the t==1 transition
@@ -87,7 +94,13 @@ def sample_traj(
         eps_hat = denoise_fn(x, cond, t)
         mean, log_var = posterior_mean_logvar(schedule, x, eps_hat, t)
         if guidance_fn is not None:
-            mean = guidance_fn(mean, t)
+            if guidance_stride <= 1:
+                mean = guidance_fn(mean, t)
+            else:
+                apply = (i % guidance_stride == 0) | (i < guidance_stride)
+                mean = jax.lax.cond(
+                    apply, lambda m: guidance_fn(m, t), lambda m: m, mean
+                )
         sigma = jnp.exp(0.5 * log_var)
         noise = jax.random.normal(step_rng, x.shape, jnp.float32)
         nonzero = (i != 0).astype(jnp.float32)
