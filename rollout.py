@@ -164,6 +164,7 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 cfg.algo.vae.latent_size,
                 num_samp=num_samp,
                 guidance_fn=guidance_fn,
+                guidance_stride=args.guidance_stride,
             )
         traj = decode_fn(out["pred_traj"])  # [Na, N, T, 6] descaled
         # take the first sample (filtration hook: choose_best_sample on
@@ -202,6 +203,8 @@ def main():
                              "adversarial collision-attack rule")
     parser.add_argument("--guidance-lr", type=float, default=0.3)
     parser.add_argument("--guidance-steps", type=int, default=1)
+    parser.add_argument("--guidance-stride", type=int, default=1,
+                        help="apply guidance every k-th denoise step")
     parser.add_argument("--perturb-th", type=float, default=1.0)
     parser.add_argument("--output", type=str, default="rollout_out")
     parser.add_argument("--render", action="store_true",
