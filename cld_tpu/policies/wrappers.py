@@ -114,6 +114,26 @@ def ou_noise(rng, shape, theta: float = 0.8, sigma=(0.0, 0.1, 0.2)) -> jnp.ndarr
     return jnp.moveaxis(out, 0, -2) * sigma
 
 
+def hierarchical_policy(planner: PolicyFn, dt: float = 0.1) -> PolicyFn:
+    """Planner + tracking-controller composition
+    (`HierarchicalWrapper`, `wrappers.py:16-80`): the planner emits a
+    position/yaw plan; inverse unicycle dynamics converts it into controls
+    relative to the agent's current state (the same inference the data layer
+    uses for GT futures). Used when the upstream policy produces plans
+    without controls (e.g. GT echo or waypoint planners)."""
+    from cld_tpu.ops.dynamics import convert_state_to_state_and_action
+
+    def policy(obs, rng):
+        plan = planner(obs, rng)
+        if plan.controls is not None:
+            return plan
+        traj_state = jnp.concatenate([plan.positions, plan.yaws], axis=-1)
+        sa = convert_state_to_state_and_action(traj_state, obs.curr_speed, dt)
+        return plan._replace(controls=sa[..., 4:6])
+
+    return policy
+
+
 def ou_perturbation_policy(policy: PolicyFn, theta: float = 0.8, sigma=(0.0, 0.1, 0.2)) -> PolicyFn:
     """Perturb actions with OU noise (`PerturbationWrapper:255-272`): noise on
     (x, y, yaw) channels."""
