@@ -79,3 +79,23 @@ def test_gan_losses_and_generation():
     assert samples.shape == (2, 4, 52, 6)
     spread = np.asarray(samples[..., -1, :2]).std(axis=1).mean()
     assert spread > 1e-4  # noise produces diverse futures
+
+
+def test_gan_trainer_alternating_updates():
+    from cld_tpu.training.gan import GANTrainer, _split_params
+    from cld_tpu.utils.registry import get_registered_experiment_config
+
+    cfg = get_registered_experiment_config("cld_smoke")
+    batch = synthetic_batch(seed=2, batch_size=2, raster_size=64)
+    trainer = GANTrainer(cfg)
+    state = trainer.init_state(jax.random.key(0), batch)
+    g0, d0 = _split_params(state.params)
+    for i in range(3):
+        state, m = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    g1, d1 = _split_params(state.params)
+    # both subtrees moved
+    dg = max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)))
+    dd = max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), d0, d1)))
+    assert dg > 0 and dd > 0
+    assert int(state.step) == 3
