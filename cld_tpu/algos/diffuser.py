@@ -84,11 +84,30 @@ class RawActionDiffuser:
         full = jnp.concatenate([states, actions], axis=-1)
         return self.normalizer.scale(full)
 
+    def query_map_feats(
+        self, traj_scaled: jnp.ndarray, map_grid: jnp.ndarray,
+        grid_from_agent: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Per-step map features under the (detached) trajectory positions
+        (`diffuser.py:752-760` query_map_feats / use_map_feat_grid): descale
+        positions, project into feature-grid pixels, bilinear-query."""
+        from cld_tpu.models.roi_encoder import query_feature_grid
+        from cld_tpu.ops.geometry import transform_points
+
+        pos = jax.lax.stop_gradient(
+            self.normalizer.descale(traj_scaled[..., :2], [0, 1])
+        )
+        pix = transform_points(pos, grid_from_agent)
+        return query_feature_grid(pix, map_grid)
+
     def _x0_hat(
         self, x_actions, curr_states, cond_feat, t, class_free_guide_w=0.0,
-        stationary_mask=None,
+        stationary_mask=None, map_grid=None, grid_from_agent=None,
     ):
         traj_in = self.actions_to_traj(x_actions, curr_states)
+        if map_grid is not None:
+            feats = self.query_map_feats(traj_in, map_grid, grid_from_agent)
+            traj_in = jnp.concatenate([traj_in, feats], axis=-1)
         x0 = self.net(traj_in, cond_feat, t)
         if class_free_guide_w != 0.0:
             x0_uncond = self.net(traj_in, jnp.zeros_like(cond_feat), t)
@@ -104,7 +123,8 @@ class RawActionDiffuser:
 
     # -- training --------------------------------------------------------
     def loss(self, rng, gt_traj_scaled: jnp.ndarray, curr_states, cond_feat,
-             cond_drop_prob: float = 0.1) -> jnp.ndarray:
+             cond_drop_prob: float = 0.1, map_grid=None, grid_from_agent=None,
+             ) -> jnp.ndarray:
         """x0-prediction MSE on noised actions, with conditioning dropout for
         CFG training (`diffuser.py` loss path + CTG cond dropout)."""
         actions0 = gt_traj_scaled[..., 4:6]
@@ -115,7 +135,10 @@ class RawActionDiffuser:
         x_noisy = q_sample(self.schedule, actions0, t, noise)
         drop = jax.random.bernoulli(d_rng, cond_drop_prob, (B,))
         cond = jnp.where(drop[:, None], 0.0, cond_feat)
-        x0_hat = self._x0_hat(x_noisy, curr_states, cond, t)
+        x0_hat = self._x0_hat(
+            x_noisy, curr_states, cond, t, map_grid=map_grid,
+            grid_from_agent=grid_from_agent,
+        )
         return jnp.mean((x0_hat - actions0) ** 2)
 
     # -- sampling ----------------------------------------------------------
@@ -130,6 +153,8 @@ class RawActionDiffuser:
         guidance_fn: Optional[Callable] = None,
         guide_clean: bool = True,
         stationary_mask: Optional[jnp.ndarray] = None,
+        map_grid: Optional[jnp.ndarray] = None,
+        grid_from_agent: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Ancestral sampling scan (`p_sample_loop`, `diffuser.py:932-993`).
 
@@ -141,6 +166,9 @@ class RawActionDiffuser:
         cond = jnp.repeat(cond_feat, num_samp, axis=0)
         curr = jnp.repeat(curr_states, num_samp, axis=0)
         stat = None if stationary_mask is None else jnp.repeat(stationary_mask, num_samp, axis=0)
+        if map_grid is not None:
+            map_grid = jnp.repeat(map_grid, num_samp, axis=0)
+            grid_from_agent = jnp.repeat(grid_from_agent, num_samp, axis=0)
         BN = B * num_samp
 
         rng, init_rng = jax.random.split(rng)
@@ -151,7 +179,10 @@ class RawActionDiffuser:
         def body(x, inp):
             i, step_rng = inp
             t = jnp.full((BN,), i, jnp.int32)
-            x0 = self._x0_hat(x, curr, cond, t, class_free_guide_w, stat)
+            x0 = self._x0_hat(
+                x, curr, cond, t, class_free_guide_w, stat,
+                map_grid=map_grid, grid_from_agent=grid_from_agent,
+            )
             if guidance_fn is not None and guide_clean:
                 x0 = guidance_fn(x0, t)
             mean, log_var = q_posterior(self.schedule, x0, x, t)

@@ -159,3 +159,32 @@ def test_timers():
     assert rep["x"]["count"] == 1
     assert rep["x"]["total"] >= 0.01
     assert "x:" in str(t)
+
+
+def test_map_feat_grid_conditioning():
+    """use_map_feat_grid: per-step queried map features are appended to the
+    network input (diffuser.py:752-760) and change the prediction."""
+    sch = make_schedule(5)
+    F = 4
+    net_mod = TemporalMapUnet(transition_dim=6 + F, output_dim=2, dim=8, dim_mults=(2, 4, 8))
+    x = jnp.zeros((2, 52, 6 + F))
+    c = jnp.zeros((2, 16))
+    t = jnp.zeros((2,), jnp.int32)
+    params = net_mod.init(jax.random.key(0), x, c, t)
+    dif = RawActionDiffuser(lambda x, c, t: net_mod.apply(params, x, c, t), sch, DYN)
+
+    curr = jnp.zeros((2, 4)).at[:, 2].set(5.0)
+    cond = jnp.ones((2, 16))
+    grid_a = jnp.zeros((2, 16, 16, F))
+    grid_b = jnp.ones((2, 16, 16, F))
+    gfa = jnp.tile(jnp.eye(3)[None], (2, 1, 1))  # agent meters ~ grid px
+
+    loss = dif.loss(jax.random.key(1), jnp.zeros((2, 52, 6)), curr, cond,
+                    map_grid=grid_a, grid_from_agent=gfa)
+    assert np.isfinite(float(loss))
+    out_a = dif.sample(jax.random.key(2), curr, cond, 52, map_grid=grid_a,
+                       grid_from_agent=gfa)
+    out_b = dif.sample(jax.random.key(2), curr, cond, 52, map_grid=grid_b,
+                       grid_from_agent=gfa)
+    diff = np.abs(np.asarray(out_a["actions_scaled"]) - np.asarray(out_b["actions_scaled"])).max()
+    assert diff > 1e-5  # different map features -> different denoising
