@@ -38,22 +38,152 @@ def convert_synthetic(out: str, num_batches: int, batch_size: int, raster_size: 
     print(f"packed {num_batches * batch_size} synthetic samples -> {out}")
 
 
-def convert_nuscenes(out: str, data_dir: str, source: str, batch_size: int):
+def _state_to_pos_yaw_speed(state):
+    """trajdata StateTensor -> (pos, yaw, speed, mask) numpy arrays with
+    NaN->0 and validity masks (`trajdata_utils.py` trajdata2posyawspeed)."""
+    import torch
+
+    pos = state.position.numpy() if hasattr(state, "position") else np.asarray(state[..., :2])
+    heading = state.heading.numpy() if hasattr(state, "heading") else np.asarray(state[..., -1:])
+    if hasattr(state, "velocity"):
+        vel = state.velocity.numpy()
+        speed = np.linalg.norm(vel, axis=-1)
+    else:
+        speed = np.zeros(pos.shape[:-1], np.float32)
+    mask = np.isfinite(pos).all(-1).astype(np.float32)
+    return (
+        np.nan_to_num(pos).astype(np.float32),
+        np.nan_to_num(heading).astype(np.float32),
+        np.nan_to_num(speed).astype(np.float32),
+        mask,
+    )
+
+
+def convert_nuscenes(
+    out: str,
+    data_dir: str,
+    source: str = "nusc_trainval-train",
+    batch_size: int = 32,
+    raster_size: int = 224,
+    pixel_size: float = 0.5,
+    history_frames: int = 30,
+    future_frames: int = 52,
+    max_neighbor_num: int = 5,
+    max_samples: int = 100_000,
+    cache_location: str = "~/.unified_data_cache",
+):
     """Offline trajdata pass producing packed shards of the canonical batch
     fields. Mirrors the reference's dataset construction
-    (`configs/datamodules.py:24-66`): agent-centric, standardized frames,
-    raster maps with history channels, neighbor futures, vehicle-only."""
+    (`/root/reference/configs/datamodules.py:24-66`) and batch parse
+    (`src/tbsim/utils/trajdata_utils.py:346-475`): agent-centric,
+    standardized frames, raster maps with painted history channels, neighbor
+    futures, vehicle-only, ego_only, 5 neighbors.
+
+    NOTE: requires a site with trajdata + the nuScenes dataset; this
+    environment ships neither, so this path is exercised only through the
+    field contract (see --synthetic for the tested pipeline). Validate the
+    first converted shard with `cld_tpu.data.validation.check_batch_consistency`.
+    """
     try:
-        from trajdata import AgentType, UnifiedDataset  # noqa: F401
+        from collections import defaultdict
+
+        import torch
+        from torch.utils.data import DataLoader
+        from trajdata import AgentType, UnifiedDataset
     except ImportError as e:
         raise SystemExit(
             "trajdata is not installed in this environment; run the converter "
             "where trajdata + nuScenes are available, or use --synthetic."
         ) from e
-    raise NotImplementedError(
-        "nuScenes conversion runs where trajdata is installed; the packed "
-        "format and loader are exercised via --synthetic here."
+
+    import jax.numpy as jnp
+
+    from cld_tpu.data.packed import write_packed
+    from cld_tpu.ops.geometry import raster_from_agent_matrix
+    from cld_tpu.ops.raster import rasterize_history
+
+    dt = 0.1
+    dataset = UnifiedDataset(
+        cache_location=cache_location,
+        desired_data=[source],
+        desired_dt=dt,
+        future_sec=(future_frames * dt, future_frames * dt),
+        history_sec=(history_frames * dt, history_frames * dt),
+        data_dirs={source.split("-")[0]: data_dir},
+        only_types=[AgentType.VEHICLE],
+        only_predict=[AgentType.VEHICLE],
+        agent_interaction_distances=defaultdict(lambda: 50),
+        incl_raster_map=True,
+        raster_map_params={
+            "px_per_m": int(1 / pixel_size),
+            "map_size_px": raster_size,
+            "return_rgb": False,
+            "offset_frac_xy": (-0.5, 0.0),
+            "no_map_fill_value": -1.0,
+        },
+        centric="agent",
+        standardize_data=True,
+        ego_only=True,
+        max_neighbor_num=max_neighbor_num,
+        verbose=True,
+        num_workers=0,
     )
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=False,
+        collate_fn=dataset.get_collate_fn(return_dict=True),
+    )
+
+    rfa = raster_from_agent_matrix(raster_size, pixel_size, (-0.5, 0.0))
+    fields: dict = {}
+
+    def push(name, arr):
+        fields.setdefault(name, []).append(np.asarray(arr, np.float32))
+
+    n = 0
+    for raw in loader:
+        hist_pos, hist_yaw, hist_speed, hist_mask = _state_to_pos_yaw_speed(raw["agent_hist"])
+        fut_pos, fut_yaw, _, fut_mask = _state_to_pos_yaw_speed(raw["agent_fut"])
+        n_hist_pos, n_hist_yaw, _, n_hist_mask = _state_to_pos_yaw_speed(raw["neigh_hist"])
+        n_fut_pos, n_fut_yaw, _, n_fut_mask = _state_to_pos_yaw_speed(raw["neigh_fut"])
+        B = hist_pos.shape[0]
+
+        maps = np.nan_to_num(raw["maps"].numpy()).astype(np.float32)  # [B, C, H, W]
+        rfa_b = jnp.asarray(np.broadcast_to(rfa, (B, 3, 3)))
+        hist_img = np.asarray(
+            rasterize_history(
+                jnp.asarray(hist_pos), jnp.asarray(hist_mask),
+                jnp.asarray(n_hist_pos), jnp.asarray(n_hist_mask),
+                rfa_b, raster_size,
+            )
+        )  # [B, Th, H, W]
+        image = np.concatenate([hist_img, maps], axis=1).transpose(0, 2, 3, 1)  # NHWC
+        drivable = (maps[:, 0] > 0).astype(np.float32)  # nusc drivable layer 0
+
+        extent = np.nan_to_num(raw["agent_hist_extent"].numpy()).max(axis=-2)
+
+        push("image", image)
+        push("drivable_map", drivable)
+        push("raster_from_agent", np.broadcast_to(rfa, (B, 3, 3)))
+        push("history_positions", hist_pos)
+        push("history_yaws", hist_yaw)
+        push("history_availabilities", hist_mask)
+        push("curr_speed", hist_speed[:, -1])
+        push("target_positions", fut_pos[:, :future_frames])
+        push("target_yaws", fut_yaw[:, :future_frames])
+        push("target_availabilities", fut_mask[:, :future_frames])
+        push("extent", extent)
+        push("all_other_agents_future_positions", n_fut_pos[:, :, :future_frames])
+        push("all_other_agents_future_availability", n_fut_mask[:, :, :future_frames])
+        push("all_other_agents_history_positions", n_hist_pos)
+        push("all_other_agents_history_yaws", n_hist_yaw)
+        push("all_other_agents_history_availability", n_hist_mask)
+
+        n += B
+        if n >= max_samples:
+            break
+
+    write_packed(out, {k: np.concatenate(v, axis=0) for k, v in fields.items()})
+    print(f"packed {n} nuScenes samples -> {out}")
 
 
 def main():
@@ -71,7 +201,8 @@ def main():
     if args.synthetic:
         convert_synthetic(args.out, args.num_batches, args.batch_size, args.raster_size, args.seed)
     else:
-        convert_nuscenes(args.out, args.nusc_data_dir, args.source, args.batch_size)
+        convert_nuscenes(args.out, args.nusc_data_dir, args.source, args.batch_size,
+                         raster_size=args.raster_size)
 
 
 if __name__ == "__main__":
