@@ -52,3 +52,21 @@ def test_scene_sampling(setup):
     # padded agents (mask False) produce descale(0) constants, real agents vary
     real_spread = np.asarray(traj[:, :3, :, :2]).std()
     assert real_spread > 0.1
+
+
+def test_scene_policy_closed_loop(setup):
+    """The scene model drives the simulator end-to-end: flattened obs are
+    regrouped per scene, jointly sampled, scattered back."""
+    from cld_tpu.policies.scene_policy import scene_dm_policy
+    from cld_tpu.sim.env import SimConfig, simulate
+    from cld_tpu.sim.scene import synthetic_scene_pack
+
+    trainer, state, _ = setup
+    Ns, A = 2, 4
+    pack = synthetic_scene_pack(seed=3, num_scenes=Ns, agents_per_scene=A, sim_steps=10)
+    cfg = SimConfig(num_simulation_steps=10, n_step_action=5, raster_size=32,
+                    hist_frames=4)
+    policy = scene_dm_policy(trainer, state, pack, Ns, A, horizon=16)
+    final, traj = jax.jit(lambda r: simulate(pack, policy, r, cfg))(jax.random.key(0))
+    assert traj.shape == (10, Ns * A, 4)
+    assert np.isfinite(np.asarray(traj)).all()
