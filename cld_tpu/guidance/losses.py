@@ -35,6 +35,10 @@ class GuidanceContext(NamedTuple):
     curr_speed: jnp.ndarray  # [B]
     world_from_agent: jnp.ndarray  # [B, 3, 3]
     scene_index: jnp.ndarray  # [B] int: which scene each agent belongs to
+    # optional lane polylines for lane_following: [B, L, 3] (x, y, yaw) in
+    # agent frame with NaN/inf-free padding masked by lane_avail [B, L]
+    lane_points: Optional[jnp.ndarray] = None
+    lane_avail: Optional[jnp.ndarray] = None
 
 
 def masked_mean(per_agent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -376,6 +380,41 @@ class SocialGroupLoss:
         return loss.at[members].set(per_member)
 
 
+@dataclasses.dataclass(frozen=True)
+class LaneFollowingLoss:
+    """Stay near (and aligned with) the closest lane point
+    (`guidance_loss.py:1574-1630` lane_following: per-step distance to the
+    projected closest lane point + heading deviation, soft-assigned so the
+    choice of lane point stays differentiable)."""
+
+    pos_weight: float = 1.0
+    yaw_weight: float = 0.5
+    softmin_temp: float = 2.0
+
+    def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
+        assert ctx.lane_points is not None, "ctx.lane_points required for lane_following"
+        lanes = ctx.lane_points  # [B, L, 3]
+        avail = (
+            ctx.lane_avail if ctx.lane_avail is not None
+            else jnp.ones(lanes.shape[:2], dtype=bool)
+        )
+        pos = x[..., :2]  # [B, N, T, 2]
+        yaw = x[..., 3]
+        d2 = jnp.sum(
+            (pos[:, :, :, None, :] - lanes[:, None, None, :, :2]) ** 2, axis=-1
+        )  # [B, N, T, L]
+        d2 = jnp.where(avail[:, None, None, :], d2, jnp.inf)
+        # soft assignment over lane points keeps gradients smooth
+        w = jax.nn.softmax(-self.softmin_temp * jnp.sqrt(d2 + 1e-9), axis=-1)
+        pos_dev = jnp.sum(w * jnp.sqrt(d2 + 1e-9), axis=-1)  # [B, N, T]
+        lane_yaw = jnp.sum(w * lanes[:, None, None, :, 2], axis=-1)
+        from cld_tpu.ops.dynamics import angle_diff
+
+        yaw_dev = jnp.abs(angle_diff(yaw, lane_yaw))
+        per_step = self.pos_weight * pos_dev + self.yaw_weight * yaw_dev
+        return jnp.mean(per_step, axis=-1)
+
+
 GUIDANCE_LOSS_MAP = {
     "target_speed": TargetSpeedLoss,
     "agent_collision": AgentCollisionLoss,
@@ -389,6 +428,7 @@ GUIDANCE_LOSS_MAP = {
     "keep_distance": KeepDistanceLoss,
     "collision_attack": CollisionAttackLoss,
     "social_group": SocialGroupLoss,
+    "lane_following": LaneFollowingLoss,
 }
 
 

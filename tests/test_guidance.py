@@ -206,3 +206,28 @@ def test_choose_best_sample():
     np.testing.assert_array_equal(np.asarray(idx), [1, 0])
     np.testing.assert_allclose(np.asarray(best[0]), np.asarray(samples[0, 1]))
     np.testing.assert_allclose(np.asarray(best[1]), np.asarray(samples[1, 0]))
+
+
+def test_lane_following_loss():
+    from cld_tpu.guidance.losses import LaneFollowingLoss
+
+    B = 2
+    base = make_ctx(B=B)
+    # straight lane along x at y=0, heading 0
+    L = 20
+    lane = np.zeros((B, L, 3), np.float32)
+    lane[..., 0] = np.linspace(0, 40, L)
+    ctx = base._replace(lane_points=jnp.asarray(lane), lane_avail=jnp.ones((B, L), bool))
+
+    on_lane = straight_traj(B=B, N=1, speed=5.0, y_off=0.0)
+    off_lane = straight_traj(B=B, N=1, speed=5.0, y_off=4.0)
+    l_on = np.asarray(LaneFollowingLoss()(on_lane, ctx))
+    l_off = np.asarray(LaneFollowingLoss()(off_lane, ctx))
+    assert (l_off > l_on + 1.0).all()  # 4 m offset costs ~4 per step
+    # gradient pulls the off-lane trajectory back toward the lane
+    g = jax.grad(lambda x: LaneFollowingLoss()(x, ctx).sum())(off_lane)
+    assert float(np.asarray(g[..., 1]).sum()) > 0  # descent lowers y
+    # heading deviation penalized
+    yawed = on_lane.at[..., 3].set(0.5)
+    l_yaw = np.asarray(LaneFollowingLoss()(yawed, ctx))
+    assert (l_yaw > l_on).all()
