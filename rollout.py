@@ -186,6 +186,10 @@ def main():
     parser.add_argument("--n-step-action", type=int, default=5)
     parser.add_argument("--raster-size", type=int, default=None)
     parser.add_argument("--num-action-samples", type=int, default=1)
+    parser.add_argument("--policy", type=str, default="dm",
+                        choices=["dm", "lattice", "gt_replay"],
+                        help="dm: guided diffusion; lattice: kinematic "
+                             "planner; gt_replay: replay-actions baseline")
     parser.add_argument("--sampler", type=str, default="ddpm", choices=["ddpm", "ddim"])
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
@@ -229,7 +233,18 @@ def main():
         sim_steps=args.num_sim_steps,
     )
     specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
-    policy = make_dm_policy(cfg, args, pack, sim_cfg, specs)
+    if args.policy == "lattice":
+        from cld_tpu.policies.planner import LatticePlannerConfig, lattice_planner_policy
+
+        policy = lattice_planner_policy(
+            LatticePlannerConfig(horizon=cfg.algo.horizon, dt=sim_cfg.dt, dyn=sim_cfg.dyn)
+        )
+    elif args.policy == "gt_replay":
+        from cld_tpu.policies.hardcoded import replay_policy
+
+        policy = replay_policy(pack.replay_actions)
+    else:
+        policy = make_dm_policy(cfg, args, pack, sim_cfg, specs)
 
     print(
         f"rollout: {pack.num_agents} agents, {sim_cfg.num_replans} replans x "
