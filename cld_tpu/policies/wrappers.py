@@ -40,13 +40,16 @@ def masked_policy(mask: jnp.ndarray, policy_true: PolicyFn, policy_false: Policy
         r1, r2 = jax.random.split(rng)
         a = policy_true(obs, r1)
         b = policy_false(obs, r2)
+        # policies may plan different horizons; blend over the common prefix
+        T = min(a.positions.shape[-2], b.positions.shape[-2])
+        cut = lambda x: None if x is None else x[..., :T, :]
         m = mask.reshape((-1, 1, 1))
         return Action(
-            positions=jnp.where(m, a.positions, b.positions),
-            yaws=jnp.where(m, a.yaws, b.yaws),
+            positions=jnp.where(m, cut(a.positions), cut(b.positions)),
+            yaws=jnp.where(m, cut(a.yaws), cut(b.yaws)),
             controls=None
             if a.controls is None or b.controls is None
-            else jnp.where(m, a.controls, b.controls),
+            else jnp.where(m, cut(a.controls), cut(b.controls)),
         )
 
     return policy

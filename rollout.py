@@ -190,6 +190,12 @@ def main():
                         choices=["dm", "lattice", "gt_replay"],
                         help="dm: guided diffusion; lattice: kinematic "
                              "planner; gt_replay: replay-actions baseline")
+    parser.add_argument("--agents-policy", type=str, default=None,
+                        choices=[None, "dm", "lattice", "gt_replay"],
+                        help="separate policy for non-ego agents (the "
+                             "EnvSplitUnifiedSimulation pattern, "
+                             "env_trajdata.py:520): ego = first agent of "
+                             "each scene")
     parser.add_argument("--sampler", type=str, default="ddpm", choices=["ddpm", "ddim"])
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
@@ -233,18 +239,34 @@ def main():
         sim_steps=args.num_sim_steps,
     )
     specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
-    if args.policy == "lattice":
-        from cld_tpu.policies.planner import LatticePlannerConfig, lattice_planner_policy
 
-        policy = lattice_planner_policy(
-            LatticePlannerConfig(horizon=cfg.algo.horizon, dt=sim_cfg.dt, dyn=sim_cfg.dyn)
+    def build_policy(name):
+        if name == "lattice":
+            from cld_tpu.policies.planner import (
+                LatticePlannerConfig,
+                lattice_planner_policy,
+            )
+
+            return lattice_planner_policy(
+                LatticePlannerConfig(horizon=cfg.algo.horizon, dt=sim_cfg.dt,
+                                     dyn=sim_cfg.dyn)
+            )
+        if name == "gt_replay":
+            from cld_tpu.policies.hardcoded import replay_policy
+
+            return replay_policy(pack.replay_actions)
+        return make_dm_policy(cfg, args, pack, sim_cfg, specs)
+
+    policy = build_policy(args.policy)
+    if args.agents_policy and args.agents_policy != args.policy:
+        from cld_tpu.policies.wrappers import masked_policy
+
+        # ego = first agent of each scene (the split-sim convention)
+        ego_mask = np.zeros(pack.num_agents, bool)
+        ego_mask[:: args.agents_per_scene] = True
+        policy = masked_policy(
+            jnp.asarray(ego_mask), policy, build_policy(args.agents_policy)
         )
-    elif args.policy == "gt_replay":
-        from cld_tpu.policies.hardcoded import replay_policy
-
-        policy = replay_policy(pack.replay_actions)
-    else:
-        policy = make_dm_policy(cfg, args, pack, sim_cfg, specs)
 
     print(
         f"rollout: {pack.num_agents} agents, {sim_cfg.num_replans} replans x "
