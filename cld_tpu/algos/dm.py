@@ -21,6 +21,8 @@ from cld_tpu.ops.diffusion import (
     DiffusionSchedule,
     normal_log_prob,
     posterior_mean_logvar,
+    predict_start_from_noise,
+    q_posterior_mean,
     q_sample,
 )
 
@@ -56,6 +58,7 @@ def sample_traj(
     num_samp: int = 1,
     guidance_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
     guidance_stride: int = 1,
+    guidance_clean: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full ancestral sampling as one lax.scan (`dm_model.py:103-142`).
 
@@ -69,6 +72,11 @@ def sample_traj(
             guidance_optimization_params / apply_guidance_intermediate). A
             lax.cond skips the whole perturbation (decoder + gradient) on
             non-guided steps.
+        guidance_clean: the reference's `guide_clean` option
+            (`diffuser.py:863-918`): perturb the *clean* x0 reconstruction
+            instead of the noisy posterior mean, then rebuild the posterior
+            mean from the guided x0 (the principled recompute the reference
+            applies in its video_diff branch, `diffuser.py:911-913`).
     Returns dict with:
         pred_traj  [B*N, T, D]  final x_0
         x1         [B*N, T, D]  state recorded after the t==1 transition
@@ -93,14 +101,20 @@ def sample_traj(
         t = jnp.full((BN,), i, dtype=jnp.int32)
         eps_hat = denoise_fn(x, cond, t)
         mean, log_var = posterior_mean_logvar(schedule, x, eps_hat, t)
+
+        def guided_mean(m):
+            if guidance_clean:
+                x0_hat = predict_start_from_noise(schedule, x, eps_hat, t)
+                x0_g = guidance_fn(x0_hat, t)
+                return q_posterior_mean(schedule, x0_g, x, t)
+            return guidance_fn(m, t)
+
         if guidance_fn is not None:
             if guidance_stride <= 1:
-                mean = guidance_fn(mean, t)
+                mean = guided_mean(mean)
             else:
                 apply = (i % guidance_stride == 0) | (i < guidance_stride)
-                mean = jax.lax.cond(
-                    apply, lambda m: guidance_fn(m, t), lambda m: m, mean
-                )
+                mean = jax.lax.cond(apply, guided_mean, lambda m: m, mean)
         sigma = jnp.exp(0.5 * log_var)
         noise = jax.random.normal(step_rng, x.shape, jnp.float32)
         nonzero = (i != 0).astype(jnp.float32)

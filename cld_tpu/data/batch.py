@@ -54,6 +54,10 @@ class TrafficBatch(NamedTuple):
     world_from_agent: Optional[jnp.ndarray] = None
     agent_from_world: Optional[jnp.ndarray] = None
     scene_index: Optional[jnp.ndarray] = None
+    # ego speed history [B, Th] and the global sim frame index (scalar int32)
+    # — consumed by the global (world-frame, time-aware) guidance losses
+    history_speeds: Optional[jnp.ndarray] = None
+    sim_step: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:

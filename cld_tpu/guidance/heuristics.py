@@ -22,6 +22,7 @@ from cld_tpu.guidance.losses import (
     GlobalTargetPosLoss,
     KeepDistanceLoss,
     MapCollisionLoss,
+    SocialGroupLoss,
     SpeedLimitLoss,
     StopSignLoss,
     TargetSpeedLoss,
@@ -84,6 +85,146 @@ def heuristic_keep_distance(target: int, ref: int, min_dist=5.0, max_dist=15.0, 
     )
 
 
+def _replay_future_states(pack, state, num_frames: int) -> np.ndarray:
+    """GT future world states by rolling the replay actions through the
+    unicycle (the on-device stand-in for `get_agents_future`,
+    `scene_edit_utils.py:286-300`): [Na, num_frames, 4]."""
+    from cld_tpu.ops.dynamics import UnicycleParams, unicycle_step
+
+    dyn = UnicycleParams()
+    s = jnp.asarray(state.states)
+    t0 = int(np.asarray(state.step))
+    T_rep = pack.replay_actions.shape[1]
+    out = []
+    for k in range(num_frames):
+        u = pack.replay_actions[:, min(t0 + k, T_rep - 1)]
+        s = unicycle_step(dyn, s, u, 0.1, bound=True)
+        out.append(np.asarray(s))
+    return np.stack(out, axis=1)
+
+
+def heuristic_social_group(
+    pack, state, group_dist_thresh: float = 10.0, social_dist: float = 2.0,
+    cohesion: float = 0.8, weight: float = 2.0, seed: int = 0,
+) -> List[GuidanceSpec]:
+    """Connected components of the proximity + co-direction graph become
+    social groups (`heuristic_social_group`, `scene_edit_utils.py:230-278`,
+    numpy union-find instead of scipy csgraph)."""
+    s = np.asarray(state.states)
+    pos, vel_mag, yaw = s[:, :2], s[:, 2], s[:, 3]
+    vel = vel_mag[:, None] * np.stack([np.cos(yaw), np.sin(yaw)], axis=-1)
+    not_moving = np.abs(vel_mag) < 0.9
+    d = vel / (np.linalg.norm(vel, axis=-1, keepdims=True) + 1e-6)
+    cos_sim = d @ d.T
+    move_sim = cos_sim >= 0
+    move_sim[not_moving, :] = True
+    move_sim[:, not_moving] = True
+    dist = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    scene = np.asarray(pack.scene_index)
+    adj = (dist <= group_dist_thresh) & move_sim & (scene[:, None] == scene[None])
+    np.fill_diagonal(adj, False)
+
+    # union-find over the adjacency
+    parent = np.arange(len(pos))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in zip(*np.nonzero(adj)):
+        parent[find(i)] = find(j)
+    roots = np.array([find(i) for i in range(len(pos))])
+
+    specs = []
+    for r in np.unique(roots):
+        members = tuple(int(i) for i in np.nonzero(roots == r)[0])
+        if len(members) > 1:  # only want groups, not single agents
+            specs.append(
+                GuidanceSpec(
+                    SocialGroupLoss(group=members, social_dist=social_dist,
+                                    cohesion=cohesion),
+                    weight,
+                )
+            )
+    return specs
+
+
+def heuristic_target_pos_at_time(pack, state, target_time: int = 40,
+                                 weight: float = 1.0, perturb_std: float = 0.0,
+                                 seed: int = 0) -> GuidanceSpec:
+    """Waypoint = the GT (replay) position at `target_time` frames ahead,
+    in each agent's current frame (`heuristic_target_pos_at_time`,
+    `scene_edit_utils.py:345-384`)."""
+    from cld_tpu.guidance.losses import TargetPosAtTimeLoss
+
+    fut = _replay_future_states(pack, state, target_time)
+    tgt_world = fut[:, -1, :2]
+    if perturb_std > 0:
+        tgt_world = tgt_world + np.random.default_rng(seed).normal(
+            0, perturb_std, tgt_world.shape
+        )
+    # world -> each agent's current frame
+    s = np.asarray(state.states)
+    c, si = np.cos(s[:, 3]), np.sin(s[:, 3])
+    rel = tgt_world - s[:, :2]
+    local = np.stack([c * rel[:, 0] + si * rel[:, 1],
+                      -si * rel[:, 0] + c * rel[:, 1]], axis=-1)
+    tt = np.full(len(local), target_time - 1, np.int64)
+    return GuidanceSpec(
+        TargetPosAtTimeLoss(target_pos=local.astype(np.float32), target_time=tt),
+        weight,
+    )
+
+
+def heuristic_global_target_pos_at_time(
+    pack, state, target_time: int = 60, urgency: float = 0.5,
+    pref_speed: float | None = None, target_tolerance: float = 2.0,
+    weight: float = 1.0,
+) -> GuidanceSpec:
+    """Global waypoint+time from the GT future
+    (`heuristic_global_target_pos_at_time`, `scene_edit_utils.py:280-333`);
+    pref_speed defaults to the GT average speed."""
+    from cld_tpu.guidance.losses import GlobalTargetPosAtTimeLoss
+
+    fut = _replay_future_states(pack, state, target_time)
+    tgt = fut[:, -1, :2].astype(np.float32)
+    if pref_speed is None:
+        pref_speed = float(np.mean(np.abs(fut[:, :, 2])))
+    t0 = int(np.asarray(state.step))
+    tt = np.full(len(tgt), t0 + target_time, np.int64)
+    return GuidanceSpec(
+        GlobalTargetPosAtTimeLoss(
+            target_pos_world=tgt, target_time=tt,
+            urgency=np.full(len(tgt), urgency, np.float32),
+            pref_speed=pref_speed, target_tolerance=target_tolerance,
+        ),
+        weight,
+    )
+
+
+def heuristic_global_stop_sign(pack, state, ahead_m: float = 15.0,
+                               box_dim=(10.0, 6.0), weight: float = 5.0,
+                               num_time_steps_to_stop: int = 3,
+                               low_speed_th: float = 0.5) -> GuidanceSpec:
+    """World-frame stop box a fixed distance ahead of each agent
+    (`heuristic_global_stop_sign`, `scene_edit_utils.py:426-471`)."""
+    from cld_tpu.guidance.losses import GlobalStopSignLoss
+
+    s = np.asarray(state.states)
+    center = s[:, :2] + ahead_m * np.stack([np.cos(s[:, 3]), np.sin(s[:, 3])], -1)
+    dim = np.tile(box_dim, (len(center), 1)).astype(np.float32)
+    return GuidanceSpec(
+        GlobalStopSignLoss(
+            stop_sign_pos=center.astype(np.float32), stop_box_dim=dim,
+            num_time_steps_to_stop=num_time_steps_to_stop,
+            low_speed_th=low_speed_th,
+        ),
+        weight,
+    )
+
+
 HEURISTIC_MAP = {
     "target_speed": heuristic_target_speed,
     "agent_collision": lambda pack, state, **kw: heuristic_agent_collision(**kw),
@@ -91,10 +232,21 @@ HEURISTIC_MAP = {
     "speed_limit": lambda pack, state, **kw: heuristic_speed_limit(**kw),
     "global_target_pos": heuristic_global_target_pos,
     "stop_sign": heuristic_stop_sign,
+    "social_group": heuristic_social_group,
+    "target_pos_at_time": heuristic_target_pos_at_time,
+    "global_target_pos_at_time": heuristic_global_target_pos_at_time,
+    "global_stop_sign": heuristic_global_stop_sign,
 }
 
 
 def compute_heuristic_guidance(names: Sequence[str], pack, state) -> List[GuidanceSpec]:
     """Build specs for the requested heuristics
-    (`compute_heuristic_guidance`, `scene_edit_utils.py:809-907`)."""
-    return [HEURISTIC_MAP[n](pack, state) for n in names]
+    (`compute_heuristic_guidance`, `scene_edit_utils.py:809-907`). Builders
+    may emit one spec or a list (social_group emits one per group)."""
+    specs: List[GuidanceSpec] = []
+    for n in names:
+        built = HEURISTIC_MAP[n](pack, state)
+        if built is None:
+            continue
+        specs.extend(built if isinstance(built, list) else [built])
+    return specs

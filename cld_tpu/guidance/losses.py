@@ -39,6 +39,11 @@ class GuidanceContext(NamedTuple):
     # agent frame with NaN/inf-free padding masked by lane_avail [B, L]
     lane_points: Optional[jnp.ndarray] = None
     lane_avail: Optional[jnp.ndarray] = None
+    # optional fields consumed by the global (world-frame, sim-time-aware)
+    # losses; None falls back to identity-frame / t=0 semantics
+    agent_from_world: Optional[jnp.ndarray] = None  # [B, 3, 3]
+    global_t: Optional[jnp.ndarray] = None  # scalar int32 current sim frame
+    agent_hist_world: Optional[jnp.ndarray] = None  # [B, Th, 4] world (x,y,v,yaw)
 
 
 def masked_mean(per_agent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -123,19 +128,27 @@ class AgentCollisionLoss:
         penalty_dists = agt_rad[:, None] + agt_rad[None, :] + self.buffer_dist  # [B, B]
         same_scene = ctx.scene_index[:, None] == ctx.scene_index[None, :]
         pair_valid = same_scene & ~jnp.eye(B, dtype=bool)
-
-        # min distance over disk pairs for every agent pair: [N, T, B, B]
-        d = cent_w.transpose(1, 2, 0, 3, 4)  # [N, T, B, D, 2]
-        diff = d[:, :, :, None, :, None, :] - d[:, :, None, :, None, :, :]
-        dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-12)  # [N, T, B, B, D, D]
-        pair_dists = jnp.min(dist.reshape(N, T, B, B, -1), axis=-1)
-
-        colliding = (pair_dists <= penalty_dists[None, None]) & pair_valid[None, None]
-        penalties = jnp.where(colliding, 1.0 - pair_dists / penalty_dists[None, None], 0.0)
-
         w = _decay_weights(T, self.decay_rate)
-        per_agent = jnp.sum(penalties * w[None, :, None, None], axis=1)  # [N, B, B]
-        per_agent = jnp.mean(per_agent, axis=-1).transpose(1, 0)  # [B, N]
+
+        # Scan over the horizon instead of materializing the full
+        # [N, T, B, B, D, D] pairwise tensor (O(B^2 D^2 T) HBM): each step
+        # touches one [B, B, N, D, D] tile, and jax.checkpoint recomputes it
+        # on the guidance-gradient backward pass, so peak memory is
+        # O(B^2 N D^2) regardless of T.
+        cent_tw = cent_w.transpose(2, 0, 1, 3, 4)  # [T, B, N, D, 2]
+
+        @jax.checkpoint
+        def step(acc, inp):
+            cent_t, w_t = inp  # [B, N, D, 2], scalar decay weight
+            diff = cent_t[:, None, :, :, None, :] - cent_t[None, :, :, None, :, :]
+            dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-12)  # [B, B, N, D, D]
+            pair = jnp.min(dist.reshape(B, B, N, -1), axis=-1)  # [B, B, N]
+            colliding = (pair <= penalty_dists[..., None]) & pair_valid[..., None]
+            pen = jnp.where(colliding, 1.0 - pair / penalty_dists[..., None], 0.0)
+            return acc + w_t * pen, None
+
+        acc, _ = jax.lax.scan(step, jnp.zeros((B, B, N)), (cent_tw, w))
+        per_agent = jnp.mean(acc, axis=1)  # mean over other agents -> [B, N]
         return jnp.where(moving[:, None], per_agent, 0.0)
 
 
@@ -186,31 +199,36 @@ class MapCollisionLoss:
         per_step_coll = jnp.sum(offroad, axis=-1)
         overlap = (per_step_coll > 0) & (per_step_coll < P)  # [B, N, T]
 
-        # pairwise distances rows=live points, cols=detached points
+        # Pairwise distances rows=live points, cols=detached points
         # (guidance_loss.py:826-850): mask off-road ROWS to +inf, min over
         # rows -> per detached point, distance to the nearest live on-road
         # point. Loss 1 - d/diag at off-road columns then *pushes the live
         # on-road points away from the (fixed) off-road region*, i.e. pulls
-        # the agent back onto the road.
-        flat = agt_pts.reshape(-1, P, 2)
-        flat_det = jax.lax.stop_gradient(flat)
-        d2 = jnp.sum((flat[:, :, None, :] - flat_det[:, None, :, :]) ** 2, axis=-1)
-        dists = jnp.sqrt(d2 + 1e-12)  # [BNT, P(live rows), P(detached cols)]
-        offroad_flat = offroad.reshape(-1, P)
-        dists = jnp.where(offroad_flat[:, :, None], jnp.inf, dists)
-        min_dist = jnp.min(dists, axis=1)  # [BNT, P] over live rows
-        diag = jnp.repeat(diag_len, N * T)[:, None]
-        pt_loss = 1.0 - min_dist / diag
-        pt_loss = jnp.where(offroad_flat, pt_loss, 0.0)
-        # steps fully on/off road contribute nothing (no gradient direction)
-        step_loss = jnp.where(
-            overlap.reshape(-1), jnp.nansum(jnp.where(jnp.isfinite(pt_loss), pt_loss, 0.0), axis=-1), 0.0
-        ).reshape(B, N, T)
-
-        moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
-        step_loss = jnp.where(moving[:, None, None], step_loss, 0.0)
+        # the agent back onto the road. Scanned over the horizon so peak
+        # memory is one [B, N, P, P] tile instead of [B*N*T, P, P];
+        # jax.checkpoint recomputes the tile on the backward pass.
         w = _decay_weights(T, self.decay_rate)
-        return jnp.sum(step_loss * w[None, None, :], axis=-1)
+        pts_t = agt_pts.transpose(2, 0, 1, 3, 4)  # [T, B, N, P, 2]
+        off_t = offroad.transpose(2, 0, 1, 3)  # [T, B, N, P]
+        ov_t = overlap.transpose(2, 0, 1)  # [T, B, N]
+
+        @jax.checkpoint
+        def step(acc, inp):
+            pts, off, ov, w_k = inp  # [B,N,P,2], [B,N,P], [B,N], scalar
+            det = jax.lax.stop_gradient(pts)
+            d2 = jnp.sum((pts[..., :, None, :] - det[..., None, :, :]) ** 2, axis=-1)
+            dists = jnp.sqrt(d2 + 1e-12)  # [B, N, P(live rows), P(det cols)]
+            dists = jnp.where(off[..., :, None], jnp.inf, dists)
+            min_dist = jnp.min(dists, axis=-2)  # [B, N, P] over live rows
+            pt_loss = 1.0 - min_dist / diag_len[:, None, None]
+            pt_loss = jnp.where(off & jnp.isfinite(pt_loss), pt_loss, 0.0)
+            # steps fully on/off road contribute nothing (no grad direction)
+            step_loss = jnp.where(ov, jnp.sum(pt_loss, axis=-1), 0.0)  # [B, N]
+            return acc + w_k * step_loss, None
+
+        loss, _ = jax.lax.scan(step, jnp.zeros((B, N)), (pts_t, off_t, ov_t, w))
+        moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
+        return jnp.where(moving[:, None], loss, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -267,6 +285,136 @@ class GlobalTargetPosLoss:
         goal_dist = jnp.maximum(urgency * max_horizon_dist, self.min_progress_dist)
         progress = init_dist - final_dist
         return jax.nn.relu(goal_dist[:, None] - progress)
+
+
+def _agent_from_world(ctx: GuidanceContext) -> jnp.ndarray:
+    if ctx.agent_from_world is not None:
+        return ctx.agent_from_world
+    return jnp.linalg.inv(ctx.world_from_agent)
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalTargetPosAtTimeLoss:
+    """Hit a world-frame waypoint at a *global* sim time
+    (`guidance_loss.py:930-1031`): while the target frame is beyond the
+    planning horizon, apply a progress loss (cover target_time*dt*pref_speed
+    scaled down by urgency); once the target frame falls inside the horizon,
+    switch to the exact TargetPosAtTimeLoss on the agent-frame projection.
+
+    The reference latches a stateful `have_reached_mask` across rollout
+    steps; here reaching is re-evaluated statelessly each call from the
+    agent's current world position (ctx.world_from_agent translation), which
+    matches the latch as long as reached agents stay within the tolerance.
+    """
+
+    target_pos_world: np.ndarray  # [B, 2]
+    target_time: np.ndarray  # [B] int global frame indices
+    urgency: np.ndarray | float = 0.5
+    pref_speed: float = 1.42
+    dt: float = 0.1
+    target_tolerance: Optional[float] = 2.0
+
+    def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
+        B, N, T, _ = x.shape
+        tgt_w = jnp.asarray(self.target_pos_world, jnp.float32)
+        tt = jnp.asarray(self.target_time, jnp.int32)
+        urgency = jnp.broadcast_to(jnp.asarray(self.urgency, jnp.float32), (B,))
+        global_t = (
+            ctx.global_t if ctx.global_t is not None else jnp.zeros((), jnp.int32)
+        )
+        local_tgt = transform_points(tgt_w[:, None], _agent_from_world(ctx))[:, 0]
+        local_tt = tt - global_t  # [B]
+        exact = (local_tt >= 0) & (local_tt < T)
+        prog = (local_tt >= 0) & ~exact
+
+        # exact branch (TargetPosAtTimeLoss at the clipped local index)
+        idx = jnp.clip(local_tt, 0, T - 1)
+        x_at = x[jnp.arange(B), :, idx, :2]  # [B, N, 2]
+        exact_loss = jnp.linalg.norm(x_at - local_tgt[:, None], axis=-1)
+
+        # progress branch (compute_progress_loss with tgt_time,
+        # guidance_loss.py:900-912): straight-path distance for the
+        # remaining time, shortened by urgency
+        final_dist = jnp.linalg.norm(x[:, :, -1, :2] - local_tgt[:, None], axis=-1)
+        goal_dist = local_tt.astype(jnp.float32) * self.dt * self.pref_speed
+        goal_dist = goal_dist * (1.0 - urgency)
+        prog_loss = jax.nn.relu(final_dist - goal_dist[:, None])
+
+        loss = jnp.where(exact[:, None], exact_loss, jnp.where(prog[:, None], prog_loss, 0.0))
+        if self.target_tolerance is not None:
+            cur_pos_w = ctx.world_from_agent[:, :2, 2]
+            reached = jnp.linalg.norm(cur_pos_w - tgt_w, axis=-1) < self.target_tolerance
+            loss = jnp.where(reached[:, None], 0.0, loss)
+        return loss
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalStopSignLoss:
+    """World-frame stop-sign rule (`guidance_loss.py:1318-1442`): vehicles
+    must hold `num_time_steps_to_stop` consecutive low-speed steps inside the
+    stop box. Robustness is the native soft-STL form of
+    F(G_[k](inside AND slow)) over the plan window (cld_tpu.rules.stl
+    semantics, replacing the reference's stlcg dependency); loss =
+    relu(-robustness).
+
+    The reference latches `already_stopped` across rollout steps from agent
+    history; here the latch is re-derived each call from
+    `ctx.agent_hist_world` (last `action_num` frames), which reproduces the
+    reference's update rule (set when >=k low-speed in-box frames, reset when
+    the latest frame is outside the box) without cross-call state.
+    """
+
+    stop_sign_pos: np.ndarray  # [B, 2] world-frame box centers
+    stop_box_dim: np.ndarray  # [B, 2] full box dims (w, h)
+    scale: float = 1.0  # soft-min/max temperature = 1/scale
+    horizon_length: int = 52
+    time_step_to_start: int = 0
+    num_time_steps_to_stop: int = 3
+    action_num: int = 5
+    low_speed_th: float = 0.5
+
+    def _softmin(self, r, axis=-1):
+        temp = 1.0 / max(self.scale, 1e-3)
+        return -jax.nn.logsumexp(-temp * r, axis=axis) / temp
+
+    def _softmax(self, r, axis=-1):
+        temp = 1.0 / max(self.scale, 1e-3)
+        return jax.nn.logsumexp(temp * r, axis=axis) / temp
+
+    def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
+        B, N, T, _ = x.shape
+        center = jnp.asarray(self.stop_sign_pos, jnp.float32)
+        half = jnp.asarray(self.stop_box_dim, jnp.float32) / 2.0
+        pos_w, _ = _to_world(x, ctx.world_from_agent)  # [B, N, T, 2]
+        speed = jnp.abs(x[..., 2])
+
+        margins = half[:, None, None] - jnp.abs(pos_w - center[:, None, None])
+        inside_r = self._softmin(margins, axis=-1)  # [B, N, T]
+        slow_r = self.low_speed_th - speed
+        both = self._softmin(jnp.stack([inside_r, slow_r], axis=-1), axis=-1)
+
+        # G over k consecutive steps, then F over window starts in the
+        # [time_step_to_start, horizon_length) range
+        k = min(self.num_time_steps_to_stop, T)
+        windows = jnp.stack([both[..., i : T - k + 1 + i] for i in range(k)], axis=-1)
+        win_r = self._softmin(windows, axis=-1)  # [B, N, W]
+        W = win_r.shape[-1]
+        lo = min(self.time_step_to_start, W - 1)
+        hi = max(min(lo + self.horizon_length, W), lo + 1)
+        robustness = self._softmax(win_r[..., lo:hi], axis=-1)  # [B, N]
+        loss = jax.nn.relu(-robustness)
+
+        if ctx.agent_hist_world is not None:
+            hist = ctx.agent_hist_world[:, -self.action_num :]  # [B, k', 4]
+            in_box = jnp.all(
+                jnp.abs(hist[..., :2] - center[:, None]) <= half[:, None], axis=-1
+            )  # [B, k']
+            low = jnp.abs(hist[..., 2]) < self.low_speed_th
+            stopped = jnp.sum(in_box & low, axis=-1) >= self.num_time_steps_to_stop
+            outside_now = ~in_box[:, -1]
+            already = stopped & ~outside_now
+            loss = jnp.where(already[:, None], 0.0, loss)
+        return loss
 
 
 @dataclasses.dataclass(frozen=True)
@@ -421,14 +569,21 @@ GUIDANCE_LOSS_MAP = {
     "map_collision": MapCollisionLoss,
     "target_pos_at_time": TargetPosAtTimeLoss,
     "target_pos": TargetPosLoss,
+    "global_target_pos_at_time": GlobalTargetPosAtTimeLoss,
     "global_target_pos": GlobalTargetPosLoss,
     "acc_limit": AccLimitLoss,
     "speed_limit": SpeedLimitLoss,
     "stop_sign": StopSignLoss,
+    "global_stop_sign": GlobalStopSignLoss,
     "keep_distance": KeepDistanceLoss,
     "collision_attack": CollisionAttackLoss,
     "social_group": SocialGroupLoss,
     "lane_following": LaneFollowingLoss,
+    # reference aliases (GUIDANCE_FUNC_MAP, guidance_loss.py:2087-2103):
+    # 'gptcollision' -> CollisionLoss, 'gptkeepdistance' -> KeepDistanceLoss;
+    # 'gpt' (LLM-generated losses) is handled by cld_tpu.guidance.codegen
+    "gptcollision": CollisionAttackLoss,
+    "gptkeepdistance": KeepDistanceLoss,
 }
 
 

@@ -132,6 +132,25 @@ def make_perturbation_guidance(
     return guidance_fn
 
 
+def per_sample_guidance_loss(
+    x_traj: jnp.ndarray, ctx: GuidanceContext, specs: Sequence[GuidanceSpec]
+) -> jnp.ndarray:
+    """Total weighted guidance loss PER (agent, sample): [B, N, T, 6] ->
+    [B, N]. This is the filtration score the reference computes through
+    `compute_guidance_loss`'s per-sample dict and consumes in
+    `choose_action_from_guidance` (`guidance_loss.py:22-60`,
+    `algos/algos.py:2024-2100`); agents outside a rule's mask contribute 0
+    for that rule."""
+    B, N = x_traj.shape[:2]
+    total = jnp.zeros((B, N))
+    for spec in specs:
+        cur = spec.loss(x_traj, ctx, agt_mask=None)  # [B, N]
+        if spec.agent_mask is not None:
+            cur = jnp.where(jnp.asarray(spec.agent_mask)[:, None], cur, 0.0)
+        total = total + spec.weight * cur
+    return total
+
+
 def choose_best_sample(
     samples: jnp.ndarray, guide_losses: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -115,6 +115,28 @@ def posterior_mean_logvar(
     return mean, log_var
 
 
+def predict_start_from_noise(
+    schedule: DiffusionSchedule, x_t: jnp.ndarray, eps: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """x0_hat from the epsilon prediction (`diffuser.py:718-724`
+    predict_start_from_noise)."""
+    return (
+        extract(schedule.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+        - extract(schedule.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * eps
+    )
+
+
+def q_posterior_mean(
+    schedule: DiffusionSchedule, x0: jnp.ndarray, x_t: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """Posterior mean q(x_{t-1} | x_t, x0) parameterized by the clean sample
+    (`diffuser.py:726-738` q_posterior)."""
+    return (
+        extract(schedule.posterior_mean_coef1, t, x0.ndim) * x0
+        + extract(schedule.posterior_mean_coef2, t, x_t.ndim) * x_t
+    )
+
+
 def normal_log_prob(x: jnp.ndarray, mean: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """Elementwise Normal log-density (torch.distributions.Normal.log_prob)."""
     var = sigma**2

@@ -172,6 +172,8 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         world_from_agent=w_from_a,
         agent_from_world=a_from_w,
         scene_index=pack.scene_index,
+        history_speeds=state.history[:, :, 2],
+        sim_step=state.step,
     )
 
 

@@ -29,11 +29,13 @@ import numpy as np
 
 from cld_tpu.algos.dm import sample_traj
 from cld_tpu.data.batch import get_current_states
-from cld_tpu.guidance.losses import (
-    GUIDANCE_LOSS_MAP,
-    GuidanceContext,
+from cld_tpu.guidance.losses import GuidanceContext
+from cld_tpu.guidance.parsing import parse_guidance_arg, specs_from_configs
+from cld_tpu.guidance.perturbation import (
+    choose_best_sample,
+    make_perturbation_guidance,
+    per_sample_guidance_loss,
 )
-from cld_tpu.guidance.perturbation import GuidanceSpec, make_perturbation_guidance
 from cld_tpu.models.vae import convert_action_to_state_and_action
 from cld_tpu.ops.dynamics import UnicycleParams
 from cld_tpu.ops.geometry import world_from_agent_matrix
@@ -44,37 +46,11 @@ from cld_tpu.sim.scene import synthetic_scene_pack
 from cld_tpu.utils.config import default_config, load_config
 
 
-def parse_guidance_arg(spec: str):
-    """'speed_limit:15,acc_limit:3' -> reference-style guidance configs."""
-    configs = []
-    if not spec:
-        return configs
-    for item in spec.split(","):
-        name, _, val = item.partition(":")
-        params = {}
-        if name == "speed_limit" and val:
-            params = {"speed_limit": float(val)}
-        elif name == "acc_limit" and val:
-            params = {"acc_limit": float(val)}
-        elif name == "agent_collision":
-            params = {}
-        elif name == "map_collision":
-            params = {}
-        elif name == "target_speed" and val:
-            params = {"target_speed": float(val)}  # broadcast later
-        configs.append({"name": name, "params": params, "weight": 1.0})
-    return configs
-
-
 def build_guidance_specs(args, pack, sim_cfg, num_agents):
-    """Guidance rules from --guidance configs and/or scene heuristics
-    (`rollout.py:120-302` editing_source config|heuristic)."""
-    specs = []
-    for gc in parse_guidance_arg(args.guidance):
-        params = dict(gc["params"])
-        if gc["name"] == "target_speed":
-            params["target_speed"] = np.full(num_agents, params["target_speed"], np.float32)
-        specs.append(GuidanceSpec(GUIDANCE_LOSS_MAP[gc["name"]](**params), gc["weight"]))
+    """Guidance rules from --guidance configs (shorthand, inline JSON, or
+    @file) and/or scene heuristics (`rollout.py:120-302` editing_source
+    config|heuristic)."""
+    specs = list(specs_from_configs(parse_guidance_arg(args.guidance), num_agents))
     if args.editing_source == "heuristic":
         from cld_tpu.guidance.heuristics import (
             compute_heuristic_guidance,
@@ -121,10 +97,22 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
             return traj.reshape(Na, num_samp, *traj.shape[1:])
 
         guidance_fn = None
+        ctx = None
         if specs:
             w_from_a = obs.world_from_agent
             if w_from_a is None:
                 w_from_a = world_from_agent_matrix(jnp.zeros((Na, 2)), jnp.zeros((Na,)))
+            # world-frame ego history for the global rules' stop latch
+            hist_world = None
+            if obs.history_speeds is not None:
+                from cld_tpu.ops.geometry import transform_points as _tp
+
+                hp_w = _tp(obs.history_positions, w_from_a)
+                dyaw = jnp.arctan2(w_from_a[:, 1, 0], w_from_a[:, 0, 0])
+                hist_world = jnp.concatenate(
+                    [hp_w, obs.history_speeds[..., None],
+                     obs.history_yaws + dyaw[:, None, None]], axis=-1,
+                )
             ctx = GuidanceContext(
                 drivable_map=obs.drivable_map,
                 raster_from_agent=obs.raster_from_agent,
@@ -132,12 +120,16 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 curr_speed=obs.curr_speed,
                 world_from_agent=w_from_a,
                 scene_index=obs.scene_index if obs.scene_index is not None else pack.scene_index,
+                agent_from_world=obs.agent_from_world,
+                global_t=obs.sim_step,
+                agent_hist_world=hist_world,
             )
-            guidance_fn = make_perturbation_guidance(
-                ctx, specs, decode_fn,
-                lr=args.guidance_lr, grad_steps=args.guidance_steps,
-                perturb_th=args.perturb_th,
-            )
+            if not args.guide_as_filter_only:
+                guidance_fn = make_perturbation_guidance(
+                    ctx, specs, decode_fn,
+                    lr=args.guidance_lr, grad_steps=args.guidance_steps,
+                    perturb_th=args.perturb_th,
+                )
 
         if args.sampler == "ddim":
             from cld_tpu.algos.dm import sample_traj_ddim
@@ -165,11 +157,18 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 num_samp=num_samp,
                 guidance_fn=guidance_fn,
                 guidance_stride=args.guidance_stride,
+                guidance_clean=args.guide_clean,
             )
         traj = decode_fn(out["pred_traj"])  # [Na, N, T, 6] descaled
-        # take the first sample (filtration hook: choose_best_sample on
-        # guidance losses; N=1 by default as in config num_samp)
-        actions = traj[:, 0, :, 4:6]
+        if num_samp > 1 and specs:
+            # filtration: pick the sample minimizing the total guidance
+            # loss per agent (`choose_action_from_guidance`,
+            # guidance_loss.py:22; algos/algos.py:2024-2100)
+            losses = per_sample_guidance_loss(traj, ctx, specs)  # [Na, N]
+            best, _ = choose_best_sample(traj, losses)  # [Na, T, 6]
+        else:
+            best = traj[:, 0]
+        actions = best[:, :, 4:6]
         return actions
 
     return policy
@@ -211,6 +210,14 @@ def main():
     parser.add_argument("--attack-pair", type=str, default=None,
                         help="'attacker,victim' agent indices for an "
                              "adversarial collision-attack rule")
+    parser.add_argument("--guide-as-filter-only", action="store_true",
+                        help="skip per-step perturbation; use guidance only "
+                             "to select among --num-action-samples plans "
+                             "(dm_composer.py:6-34 guide_as_filter_only)")
+    parser.add_argument("--guide-clean", action="store_true",
+                        help="perturb the clean x0 reconstruction instead of "
+                             "the noisy posterior mean (diffuser.py:863-918 "
+                             "guide_clean)")
     parser.add_argument("--guidance-lr", type=float, default=0.3)
     parser.add_argument("--guidance-steps", type=int, default=1)
     parser.add_argument("--guidance-stride", type=int, default=1,

@@ -231,3 +231,128 @@ def test_lane_following_loss():
     yawed = on_lane.at[..., 3].set(0.5)
     l_yaw = np.asarray(LaneFollowingLoss()(yawed, ctx))
     assert (l_yaw > l_on).all()
+
+
+def test_global_target_pos_at_time_branches():
+    from cld_tpu.guidance.losses import GlobalTargetPosAtTimeLoss
+
+    B, N, T = 2, 2, 52
+    ctx = make_ctx(B=B)
+    x = straight_traj(B=B, N=N, T=T, speed=5.0)
+    # identity world frame: agent frame == world frame
+    # straight_traj's frame i sits at speed*(i+1)*dt
+    tgt = np.stack([np.array([5.0 * 0.1 * 21, 0.0]), np.array([100.0, 0.0])])
+
+    # agent 0: target frame 20 inside horizon -> exact branch, on-target == 0
+    # agent 1: target frame 200 beyond horizon -> progress branch
+    loss = GlobalTargetPosAtTimeLoss(
+        target_pos_world=tgt,
+        target_time=np.array([20, 200]),
+        urgency=np.array([0.0, 0.0]),
+        target_tolerance=None,
+    )(x, ctx)
+    assert loss.shape == (B, N)
+    np.testing.assert_allclose(np.asarray(loss[0]), 0.0, atol=1e-5)
+    # progress branch: covered 26 m of the 200*0.1*1.42=28.4 m goal -> >0
+    assert (np.asarray(loss[1]) > 0).all()
+
+    # global_t advances: frame 200 target becomes exact once t >= 148
+    ctx_t = ctx._replace(global_t=jnp.asarray(190, jnp.int32))
+    loss_t = GlobalTargetPosAtTimeLoss(
+        target_pos_world=tgt,
+        target_time=np.array([20, 200]),
+        urgency=np.array([0.0, 0.0]),
+        target_tolerance=None,
+    )(x, ctx_t)
+    # agent 0's target time has passed (local_tt < 0) -> masked to 0
+    np.testing.assert_allclose(np.asarray(loss_t[0]), 0.0, atol=1e-6)
+    # agent 1 now exact at local frame 10: traj is at x=5.5, target x=100
+    assert (np.asarray(loss_t[1]) > 90).all()
+
+    # tolerance masks agents already at the target
+    near_tgt = np.zeros((B, 2), np.float32)
+    loss_near = GlobalTargetPosAtTimeLoss(
+        target_pos_world=near_tgt,
+        target_time=np.array([20, 20]),
+        urgency=np.array([0.0, 0.0]),
+        target_tolerance=2.0,
+    )(x, ctx)
+    np.testing.assert_allclose(np.asarray(loss_near), 0.0, atol=1e-6)
+
+
+def test_global_stop_sign_loss():
+    from cld_tpu.guidance.losses import GlobalStopSignLoss
+
+    B, N, T = 2, 1, 52
+    ctx = make_ctx(B=B)
+    box_pos = np.tile([10.0, 0.0], (B, 1)).astype(np.float32)
+    box_dim = np.tile([8.0, 6.0], (B, 1)).astype(np.float32)
+    rule = GlobalStopSignLoss(stop_sign_pos=box_pos, stop_box_dim=box_dim)
+
+    # speeding through the box -> violated (positive loss)
+    fast = straight_traj(B=B, N=N, T=T, speed=8.0)
+    l_fast = rule(fast, ctx)
+    assert (np.asarray(l_fast) > 0).all()
+
+    # stopping inside the box -> satisfied (≈0 loss)
+    stopped = jnp.zeros((B, N, T, 6)).at[..., 0].set(10.0)
+    l_stop = rule(stopped, ctx)
+    assert float(l_stop.max()) < 0.2
+
+    # already_stopped latch from world history: low-speed in-box history
+    # masks the loss even for a speeding plan
+    hist = np.zeros((B, 6, 4), np.float32)
+    hist[:, :, 0] = 10.0  # in box
+    hist[:, :, 2] = 0.1  # slow
+    ctx_hist = ctx._replace(agent_hist_world=jnp.asarray(hist))
+    l_masked = rule(fast, ctx_hist)
+    np.testing.assert_allclose(np.asarray(l_masked), 0.0, atol=1e-6)
+
+    # gradients flow (it sits inside the perturbation loop)
+    g = jax.grad(lambda x: rule(x, ctx).sum())(fast)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_agent_collision_scan_matches_dense_reference():
+    """The scan-over-T rewrite must reproduce the dense [N,T,B,B,D,D] math."""
+    ctx = make_ctx(B=4, scene_index=np.array([0, 0, 1, 1], np.int32))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 3, (4, 2, 12, 6)).astype(np.float32))
+    x = x.at[..., 2].set(5.0)
+    loss = AgentCollisionLoss()
+
+    got = np.asarray(loss(x, ctx))
+
+    # dense oracle (the pre-rewrite implementation)
+    import cld_tpu.guidance.losses as L
+
+    B, N, T, _ = x.shape
+    moving = jnp.abs(ctx.curr_speed) > loss.guide_moving_speed_th
+    xm = L._mask_gradient(x, moving)
+    pos_w, yaw_w = L._to_world(xm, ctx.world_from_agent)
+    agt_rad = ctx.extent[:, 1] / 2.0
+    cent_min = -(ctx.extent[:, 0] / 2.0) + agt_rad
+    cent_max = (ctx.extent[:, 0] / 2.0) - agt_rad
+    lin = jnp.linspace(0.0, 1.0, loss.num_disks)
+    cent_x = cent_min[:, None] + (cent_max - cent_min)[:, None] * lin[None]
+    centroids = jnp.stack([cent_x, jnp.zeros_like(cent_x)], axis=-1)
+    c = jnp.cos(yaw_w)[..., None]
+    s = jnp.sin(yaw_w)[..., None]
+    cent = centroids[:, None, None]
+    rx = cent[..., 0] * c[..., 0] + cent[..., 1] * (-s[..., 0])
+    ry = cent[..., 0] * s[..., 0] + cent[..., 1] * c[..., 0]
+    cent_w = jnp.stack([rx, ry], axis=-1) + pos_w[..., None, :]
+    penalty_dists = agt_rad[:, None] + agt_rad[None, :] + loss.buffer_dist
+    same_scene = ctx.scene_index[:, None] == ctx.scene_index[None, :]
+    pair_valid = same_scene & ~jnp.eye(B, dtype=bool)
+    d = cent_w.transpose(1, 2, 0, 3, 4)
+    diff = d[:, :, :, None, :, None, :] - d[:, :, None, :, None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-12)
+    pair_dists = jnp.min(dist.reshape(N, T, B, B, -1), axis=-1)
+    colliding = (pair_dists <= penalty_dists[None, None]) & pair_valid[None, None]
+    penalties = jnp.where(colliding, 1.0 - pair_dists / penalty_dists[None, None], 0.0)
+    w = L._decay_weights(T, loss.decay_rate)
+    per_agent = jnp.sum(penalties * w[None, :, None, None], axis=1)
+    want = np.asarray(jnp.where(moving[:, None], jnp.mean(per_agent, axis=-1).transpose(1, 0), 0.0))
+
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
