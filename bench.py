@@ -1,23 +1,32 @@
 #!/usr/bin/env python
-"""Benchmark: latent-diffusion sampling throughput on real hardware.
+"""Benchmark: guided latent-diffusion throughput on real hardware.
 
 Headline metric (BASELINE.json): guided-diffusion NFE/sec on nuScenes-sized
-batches. One NFE = one denoiser evaluation for one trajectory. The measured
-pipeline per iteration is the full action-sampling path of the reference's
-PPO collection step (`guide_dm_trainer.py:84-118`): context encoding
-(ResNet-18 over the 224x224x34 raster stack) + 100-step reverse diffusion
-(lax.scan) + VAE decode + unicycle integration + reward computation.
+batches, measured on the REPRESENTATIVE guided pipeline — test-time guidance
+is the reference's flagship scene-editing config: agent_collision +
+map_collision (`/root/reference/src/tbsim/configs/scene_edit_config.py:130-170`),
+applied as one Adam perturbation step per denoise step through the frozen
+VAE decoder + unicycle (the reference's per-step perturbation,
+`guidance_loss.py:2221-2282`). One NFE = one denoiser evaluation for one
+trajectory. The measured pipeline per iteration is the full action-sampling
+path of the reference's PPO collection step (`guide_dm_trainer.py:84-118`):
+context encoding (ResNet-18 over the 224x224x34 raster stack) + 100-step
+reverse diffusion (lax.scan) + VAE decode + unicycle integration + reward.
+
+A second phase measures CLOSED-LOOP throughput (agent-steps/s): the on-device
+receding-horizon simulator (`cld_tpu/sim/env.py`) with the guided DM policy —
+100 sim frames, replan every 5, the scene_edit_config cadence — reported in
+the same JSON line as `closed_loop_agent_steps_per_sec`.
 
 The reference publishes no absolute throughput (BASELINE.md); `vs_baseline`
 is reported against a documented engineering estimate of the reference's
 torch GPU path: ~25k NFE/s for the UNGUIDED batch-128 loop (TemporalMapUnet
 forward ~= 5 ms on an A100-class GPU, sequential 100-step Python loop,
 ignoring per-step host syncs). The guided reference path (Adam perturbation
-+ decoder backward per step, guidance_loss.py:2221-2282) is several times
-slower than that, so dividing our GUIDED throughput by the UNGUIDED estimate
-under-states the true ratio — i.e. this is a charitable baseline.
++ decoder backward per step) is several times slower than that, so dividing
+our GUIDED throughput by the UNGUIDED estimate under-states the true ratio.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
@@ -29,44 +38,35 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 REFERENCE_NFE_PER_SEC_ESTIMATE = 25_000.0
 
 # batch 128 matches the reference's training batch of record; NFE/s is
 # throughput-normalized so the metric is comparable across batch sizes.
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
+AGENTS_PER_SCENE = 4  # guidance sees scenes of 4 interacting agents
 NUM_SAMP = 1
 N_STEPS = 100
+SKIP_CLOSED_LOOP = os.environ.get("BENCH_SKIP_CLOSED_LOOP", "0") == "1"
+CL_SCENES = int(os.environ.get("BENCH_CL_SCENES", 4))
+CL_AGENTS = int(os.environ.get("BENCH_CL_AGENTS", 8))  # per scene
+CL_STEPS = int(os.environ.get("BENCH_CL_STEPS", 100))
 
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def main():
-    from cld_tpu.data.synthetic import synthetic_batch
+def build_flagship(cfg, compute_dtype, batch):
+    """Full-size models (config of record), bf16 compute on TPU."""
     from cld_tpu.models.temporal_unet import TemporalMapUnet
     from cld_tpu.models.vae import VaeModel
     from cld_tpu.training.dm import DMTrainer
-    from cld_tpu.training.ppo import PPOTrainer, buffer_init
-    from cld_tpu.utils.config import default_config
 
-    compute_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-
-    cfg = default_config()
-    cfg.train.training.batch_size = BATCH
-    t0 = time.perf_counter()
-    batch = synthetic_batch(seed=0, batch_size=BATCH, raster_size=224)
-    if compute_dtype == jnp.bfloat16:
-        batch = batch._replace(image=batch.image.astype(jnp.bfloat16))
-    batch = jax.tree.map(jax.device_put, batch)
-    jax.block_until_ready(batch.image)
-    log(f"synthetic batch B={BATCH} built+transferred in {time.perf_counter() - t0:.1f}s")
-
-    # full-size models (config of record), bf16 compute on TPU
-    t0 = time.perf_counter()
     vae = VaeModel(dtype=compute_dtype)
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+    t0 = time.perf_counter()
     vae_vars = jax.jit(lambda r, b: vae.init(r, b, 0.05))(rngs, batch)
     log(f"vae init in {time.perf_counter() - t0:.1f}s")
     dm_trainer = DMTrainer(cfg, vae_vars)
@@ -79,19 +79,27 @@ def main():
         dtype=compute_dtype,
     )
     dm_state = dm_trainer.init_state(jax.random.key(2))
+    return dm_trainer, dm_state
 
-    # test-time guidance wired into the 100-step sampling scan: one Adam
-    # grad step per denoise step, cost evaluated through the frozen VAE
-    # decoder + unicycle (the reference's per-step perturbation,
-    # guidance_loss.py:2221-2282) — this is the "guided" in the metric name.
-    # Data flows as jit ARGUMENTS, never closed over: closures would bake the
-    # raster batch into the HLO as a literal (a hard failure on remote-
-    # compile transports).
+
+def flagship_guidance_specs():
+    """The scene_edit_config.py:130-170 flagship editing rules."""
+    from cld_tpu.guidance.losses import AgentCollisionLoss, MapCollisionLoss
+    from cld_tpu.guidance.perturbation import GuidanceSpec
+
+    return [
+        GuidanceSpec(AgentCollisionLoss(num_disks=5, buffer_dist=0.2), 10.0),
+        GuidanceSpec(MapCollisionLoss(num_points_lw=(10, 10)), 10.0),
+    ]
+
+
+def bench_open_loop(cfg, dm_trainer, dm_state, batch):
+    """Guided sampling NFE/s: the representative per-replan action pipeline."""
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.algos.reward import compute_reward
     from cld_tpu.data.batch import get_current_states
-    from cld_tpu.guidance.losses import GuidanceContext, SpeedLimitLoss
-    from cld_tpu.guidance.perturbation import GuidanceSpec, make_perturbation_guidance
+    from cld_tpu.guidance.losses import GuidanceContext
+    from cld_tpu.guidance.perturbation import make_perturbation_guidance
     from cld_tpu.models.vae import convert_action_to_state_and_action
     from cld_tpu.ops.dynamics import UnicycleParams
     from cld_tpu.ops.geometry import world_from_agent_matrix
@@ -100,6 +108,18 @@ def main():
     dyn = UnicycleParams.from_config(cfg.algo.dynamics)
     normalizer = TrajNormalizer()
 
+    # world poses: scenes of AGENTS_PER_SCENE agents in adjacent lanes with
+    # longitudinal stagger, so the collision rules see real interactions
+    lane = (np.arange(BATCH) % AGENTS_PER_SCENE).astype(np.float32)
+    pos_w = jnp.asarray(
+        np.stack([lane * 8.0, (lane % 2) * 3.5 - 1.75], axis=-1), jnp.float32
+    )
+    yaw_w = jnp.zeros((BATCH,))
+    scene_index = jnp.arange(BATCH) // AGENTS_PER_SCENE
+
+    # Data flows as jit ARGUMENTS, never closed over: closures would bake the
+    # raster batch into the HLO as a literal (a hard failure on remote-
+    # compile transports).
     def guided_collect(dm_state_params, batch, rng):
         enc_rng, samp_rng = jax.random.split(rng)
         _, aux = dm_trainer.encode(batch, enc_rng)
@@ -119,13 +139,11 @@ def main():
             raster_from_agent=batch.raster_from_agent,
             extent=batch.extent,
             curr_speed=batch.curr_speed,
-            world_from_agent=world_from_agent_matrix(
-                jnp.zeros((BATCH, 2)), jnp.zeros((BATCH,))
-            ),
-            scene_index=jnp.arange(BATCH),
+            world_from_agent=world_from_agent_matrix(pos_w, yaw_w),
+            scene_index=scene_index,
         )
         gfn = make_perturbation_guidance(
-            ctx, [GuidanceSpec(SpeedLimitLoss(speed_limit=15.0))], decode_fn,
+            ctx, flagship_guidance_specs(), decode_fn,
             lr=0.3, grad_steps=1, perturb_th=1.0,
         )
         out = sample_traj(
@@ -136,13 +154,12 @@ def main():
         traj = decode_fn(out["pred_traj"])
         return compute_reward(traj, batch, normalizer.scale(traj)).mean()
 
-    one_iter_jit = jax.jit(lambda p, b, r: guided_collect(p, b, r))
+    one_iter_jit = jax.jit(guided_collect)
 
-    # warmup/compile
     t0 = time.perf_counter()
     r = one_iter_jit(dm_state.params, batch, jax.random.key(10))
     jax.block_until_ready(r)
-    log(f"pipeline compiled+warm in {time.perf_counter() - t0:.1f}s")
+    log(f"open-loop pipeline compiled+warm in {time.perf_counter() - t0:.1f}s")
 
     iters = 5
     t0 = time.perf_counter()
@@ -150,9 +167,116 @@ def main():
         r = one_iter_jit(dm_state.params, batch, jax.random.key(20 + i))
     jax.block_until_ready(r)
     elapsed = time.perf_counter() - t0
+    return BATCH * NUM_SAMP * N_STEPS * iters / elapsed
 
-    nfe = BATCH * NUM_SAMP * N_STEPS * iters
-    nfe_per_sec = nfe / elapsed
+
+def bench_closed_loop(cfg, dm_trainer, dm_state):
+    """Guided closed-loop sim throughput (agent-steps/s): the second
+    BASELINE.json north-star metric, on the same flagship guidance."""
+    from cld_tpu.algos.dm import sample_traj
+    from cld_tpu.data.batch import get_current_states
+    from cld_tpu.guidance.losses import GuidanceContext
+    from cld_tpu.guidance.perturbation import make_perturbation_guidance
+    from cld_tpu.models.vae import convert_action_to_state_and_action
+    from cld_tpu.ops.dynamics import UnicycleParams
+    from cld_tpu.ops.normalization import TrajNormalizer
+    from cld_tpu.sim.env import SimConfig, simulate
+    from cld_tpu.sim.scene import synthetic_scene_pack
+
+    dyn = UnicycleParams.from_config(cfg.algo.dynamics)
+    normalizer = TrajNormalizer()
+    sim_cfg = SimConfig(
+        num_simulation_steps=CL_STEPS,
+        n_step_action=5,
+        hist_frames=cfg.algo.history_num_frames,
+        raster_size=cfg.env.rasterizer.raster_size,
+        pixel_size=cfg.env.rasterizer.pixel_size,
+        dyn=dyn,
+    )
+    pack = synthetic_scene_pack(
+        seed=0, num_scenes=CL_SCENES, agents_per_scene=CL_AGENTS,
+        sim_steps=CL_STEPS,
+    )
+    specs = flagship_guidance_specs()
+    Na = pack.num_agents
+
+    def policy(obs, rng):
+        enc_rng, samp_rng = jax.random.split(rng)
+        _, aux = dm_trainer.encode(obs, enc_rng)
+        curr = get_current_states(obs)
+
+        def decode_fn(z):
+            acts = dm_trainer.vae.apply(
+                dm_trainer.vae_variables, z, aux["cond_feat"], method="decode"
+            )
+            traj = convert_action_to_state_and_action(
+                acts, curr, dyn, normalizer, descaled_output=True
+            )
+            return traj[:, None]
+
+        ctx = GuidanceContext(
+            drivable_map=obs.drivable_map,
+            raster_from_agent=obs.raster_from_agent,
+            extent=obs.extent,
+            curr_speed=obs.curr_speed,
+            world_from_agent=obs.world_from_agent,
+            scene_index=obs.scene_index,
+        )
+        gfn = make_perturbation_guidance(
+            ctx, specs, decode_fn, lr=0.3, grad_steps=1, perturb_th=1.0
+        )
+        out = sample_traj(
+            dm_trainer.denoise_fn(dm_state.params), dm_trainer.schedule,
+            samp_rng, aux["cond_feat"], cfg.algo.horizon,
+            cfg.algo.vae.latent_size, num_samp=1, guidance_fn=gfn,
+        )
+        return decode_fn(out["pred_traj"])[:, 0, :, 4:6]
+
+    run = jax.jit(lambda rng: simulate(pack, policy, rng, sim_cfg))
+    t0 = time.perf_counter()
+    _, traj = run(jax.random.key(0))
+    traj.block_until_ready()
+    log(f"closed-loop compiled+warm in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    _, traj = run(jax.random.key(1))
+    traj.block_until_ready()
+    steady = time.perf_counter() - t0
+    return Na * CL_STEPS / steady, steady
+
+
+def main():
+    from cld_tpu.data.synthetic import synthetic_batch
+    from cld_tpu.utils.config import default_config
+
+    compute_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    cfg = default_config()
+    cfg.train.training.batch_size = BATCH
+    t0 = time.perf_counter()
+    batch = synthetic_batch(seed=0, batch_size=BATCH, raster_size=224)
+    if compute_dtype == jnp.bfloat16:
+        batch = batch._replace(image=batch.image.astype(jnp.bfloat16))
+    batch = jax.tree.map(jax.device_put, batch)
+    jax.block_until_ready(batch.image)
+    log(f"synthetic batch B={BATCH} built+transferred in {time.perf_counter() - t0:.1f}s")
+
+    dm_trainer, dm_state = build_flagship(cfg, compute_dtype, batch)
+
+    nfe_per_sec = bench_open_loop(cfg, dm_trainer, dm_state, batch)
+    log(f"open-loop guided NFE/s = {nfe_per_sec:.0f}")
+
+    extras = {}
+    if not SKIP_CLOSED_LOOP:
+        cl_rate, cl_wall = bench_closed_loop(cfg, dm_trainer, dm_state)
+        log(f"closed-loop agent-steps/s = {cl_rate:.0f} (wall {cl_wall:.2f}s)")
+        extras = {
+            "closed_loop_agent_steps_per_sec": round(cl_rate, 1),
+            "closed_loop_config": (
+                f"{CL_SCENES} scenes x {CL_AGENTS} agents, {CL_STEPS} frames, "
+                f"replan/5, guided DDPM-100, raster 224"
+            ),
+        }
+
     print(
         json.dumps(
             {
@@ -160,9 +284,12 @@ def main():
                 "value": round(nfe_per_sec, 1),
                 "unit": (
                     f"NFE/s (raster encode + 100-step scan with per-step "
-                    f"decoder-gradient guidance + decode + reward, batch {BATCH})"
+                    f"agent_collision+map_collision decoder-gradient guidance "
+                    f"+ decode + reward, batch {BATCH}, scenes of "
+                    f"{AGENTS_PER_SCENE})"
                 ),
                 "vs_baseline": round(nfe_per_sec / REFERENCE_NFE_PER_SEC_ESTIMATE, 3),
+                **extras,
             }
         )
     )
