@@ -178,6 +178,20 @@ def convert_nuscenes(
         push("all_other_agents_history_yaws", n_hist_yaw)
         push("all_other_agents_history_availability", n_hist_mask)
 
+        # world pose + scene metadata so converted samples can seed the
+        # closed-loop simulator (sim.scene.scene_pack_from_batches mirrors
+        # env_trajdata.py:154-231 reset-from-dataset). trajdata's AgentBatch
+        # carries agents_from_world_tf [B, 3, 3] and per-sample scene ids.
+        a_from_w = np.nan_to_num(raw["agents_from_world_tf"].numpy()).astype(np.float32)
+        push("world_from_agent", np.linalg.inv(a_from_w))
+        scene_ids = raw["scene_ids"]
+        fields.setdefault("scene_index", []).append(
+            np.asarray([abs(hash(str(s))) % (2**31) for s in scene_ids], np.int64)
+        )
+        fields.setdefault("scene_ts", []).append(
+            np.asarray(raw["scene_ts"].numpy(), np.int64)
+        )
+
         n += B
         if n >= max_samples:
             break

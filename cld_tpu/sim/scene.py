@@ -9,7 +9,7 @@ static shapes, and observation rendering is a gather (see cld_tpu.ops.raster).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -91,4 +91,192 @@ def synthetic_scene_pack(
         controlled_mask=jnp.asarray(controlled),
         replay_actions=jnp.asarray(replay_actions),
         extent=jnp.asarray(extent),
+    )
+
+
+def _default_world_placement(B, scene_index, road_half_width=7.0, seed=0):
+    """Synthesize world poses for agent-centric samples that carry none:
+    adjacent lanes with longitudinal stagger per scene (the placement the
+    reference gets for free from the dataset's world frames)."""
+    rng = np.random.default_rng(seed)
+    w = np.zeros((B, 3, 3), np.float32)
+    lanes = np.array([-road_half_width / 2, road_half_width / 2], np.float32)
+    for s in np.unique(scene_index):
+        members = np.nonzero(scene_index == s)[0]
+        for k, b in enumerate(members):
+            x = -80.0 + 15.0 * k + rng.uniform(-2, 2)
+            y = lanes[k % 2] + rng.uniform(-0.5, 0.5)
+            w[b] = np.array([[1, 0, x], [0, 1, y], [0, 0, 1]], np.float32)
+    return w
+
+
+def _stitch_world_map(
+    sem_rasters: np.ndarray,  # [B, H, W, C] agent-frame semantic layers
+    raster_from_agent: np.ndarray,  # [B, 3, 3]
+    world_from_agent: np.ndarray,  # [B, 3, 3]
+    scene_index: np.ndarray,  # [B]
+    world_map_size: int,
+    map_resolution: float,
+) -> tuple:
+    """Inverse-warp each agent's egocentric semantic raster into a shared
+    world grid per scene, max-combining overlaps. This reconstructs the
+    world map the reference keeps in trajdata's VectorMap/raster cache
+    (`env_trajdata.py:154-231` reset-from-dataset); for converted real data
+    the agent rasters are crops of one underlying map, so the union is
+    exact wherever any agent saw the map.
+    """
+    B, H, W, C = sem_rasters.shape
+    scenes = np.unique(scene_index)
+    Ns = len(scenes)
+    Hw = Ww = world_map_size
+
+    # world grid centered on each scene's agent centroid
+    world_map = np.zeros((Ns, Hw, Ww, C), np.float32)
+    origins = np.zeros((Ns, 2), np.float32)
+    # agent-frame coords of every world pixel: p_a = A_from_W @ p_w
+    for si, s in enumerate(scenes):
+        members = np.nonzero(scene_index == s)[0]
+        centroid = world_from_agent[members, :2, 2].mean(axis=0)
+        origin = centroid - np.array([Ww, Hw], np.float32) * map_resolution / 2
+        origins[si] = origin
+        xs = origin[0] + (np.arange(Ww, dtype=np.float32) + 0.5) * map_resolution
+        ys = origin[1] + (np.arange(Hw, dtype=np.float32) + 0.5) * map_resolution
+        gx, gy = np.meshgrid(xs, ys)  # [Hw, Ww]
+        pw = np.stack([gx, gy, np.ones_like(gx)], axis=-1).reshape(-1, 3)  # [P, 3]
+        for b in members:
+            r_from_w = raster_from_agent[b] @ np.linalg.inv(world_from_agent[b])
+            pr = pw @ r_from_w.T  # [P, 3] raster coords
+            col = np.round(pr[:, 0]).astype(np.int64)
+            row = np.round(pr[:, 1]).astype(np.int64)
+            valid = (col >= 0) & (col < W) & (row >= 0) & (row < H)
+            vals = np.zeros((pw.shape[0], C), np.float32)
+            vals[valid] = sem_rasters[b, row[valid], col[valid]]
+            world_map[si] = np.maximum(world_map[si], vals.reshape(Hw, Ww, C))
+    return world_map, origins, scenes
+
+
+def scene_pack_from_batches(
+    batch,
+    scene_index: Optional[np.ndarray] = None,
+    world_from_agent: Optional[np.ndarray] = None,
+    sim_steps: int = 100,
+    world_map_size: int = 512,
+    map_resolution: float = 0.5,
+    controlled_mask: Optional[np.ndarray] = None,
+    num_hist_channels: Optional[int] = None,
+    dt: float = 0.1,
+    seed: int = 0,
+) -> ScenePack:
+    """Build a simulatable world from a TrafficBatch of converted scenes —
+    the on-device equivalent of `EnvUnifiedSimulation.reset`
+    (`/root/reference/src/tbsim/envs/env_trajdata.py:154-231`):
+
+    * world map: per-scene stitch of the agents' egocentric semantic rasters
+      (exact for real converted data, see _stitch_world_map);
+    * init states: each agent's world pose + current speed;
+    * replay actions: inverse unicycle dynamics on the GT future
+      (`convert_state_to_state_and_action`, diffuser_helpers.py:685-749),
+      zero-padded past the GT horizon — so uncontrolled agents replay the
+      dataset exactly as the reference's non-simulated agents do.
+
+    Agent-centric batches without world pose metadata (e.g. synthetic
+    shards) get a synthesized lane placement.
+    """
+    from cld_tpu.ops.dynamics import convert_state_to_state_and_action
+
+    B = int(batch.image.shape[0])
+    scene_index = (
+        np.asarray(scene_index)
+        if scene_index is not None
+        else (np.asarray(batch.scene_index) if batch.scene_index is not None
+              else np.zeros(B, np.int64))
+    )
+    if world_from_agent is None:
+        if batch.world_from_agent is not None:
+            world_from_agent = np.asarray(batch.world_from_agent)
+        else:
+            world_from_agent = _default_world_placement(B, scene_index, seed=seed)
+
+    # semantic layers are the trailing channels after the history layers
+    img = np.asarray(batch.image)
+    Th = batch.history_positions.shape[1] if num_hist_channels is None else num_hist_channels
+    sem = img[..., Th:]
+    world_map, origins, scenes = _stitch_world_map(
+        sem, np.asarray(batch.raster_from_agent), world_from_agent,
+        scene_index, world_map_size, map_resolution,
+    )
+    dense_scene = np.searchsorted(scenes, scene_index)
+
+    pos_w = world_from_agent[:, :2, 2]
+    yaw_w = np.arctan2(world_from_agent[:, 1, 0], world_from_agent[:, 0, 0])
+    init_states = np.stack(
+        [pos_w[:, 0], pos_w[:, 1], np.asarray(batch.curr_speed), yaw_w], axis=-1
+    ).astype(np.float32)
+
+    # GT replay actions from the agent-frame future via inverse dynamics
+    gt = jnp.concatenate(
+        [jnp.asarray(batch.target_positions), jnp.asarray(batch.target_yaws)], axis=-1
+    )
+    sa = convert_state_to_state_and_action(gt, jnp.asarray(batch.curr_speed), dt)
+    actions = np.asarray(sa[..., 4:6])  # [B, T_fut, 2]
+    avail = np.asarray(batch.target_availabilities) > 0
+    actions = np.where(avail[..., None], actions, 0.0)
+    T_fut = actions.shape[1]
+    replay = np.zeros((B, sim_steps, 2), np.float32)
+    replay[:, : min(T_fut, sim_steps)] = actions[:, :sim_steps]
+
+    if controlled_mask is None:
+        controlled_mask = np.ones(B, bool)
+
+    return ScenePack(
+        world_map=jnp.asarray(world_map),
+        map_origin=jnp.asarray(origins),
+        map_resolution=float(map_resolution),
+        init_states=jnp.asarray(init_states),
+        scene_index=jnp.asarray(dense_scene.astype(np.int32)),
+        controlled_mask=jnp.asarray(np.asarray(controlled_mask)),
+        replay_actions=jnp.asarray(replay),
+        extent=jnp.asarray(batch.extent),
+    )
+
+
+def scene_pack_from_shards(
+    path: str,
+    num_scenes: int = 1,
+    agents_per_scene: int = 4,
+    sim_steps: int = 100,
+    start_index: int = 0,
+    controlled_mask: Optional[np.ndarray] = None,
+    **kwargs,
+) -> ScenePack:
+    """Load converted scenes from a packed-shard directory into a ScenePack
+    (`rollout.py --scene-data`). Uses the shards' own `scene_index` /
+    `world_from_agent` fields when the converter recorded them; otherwise
+    groups consecutive samples into scenes of `agents_per_scene`.
+    """
+    from cld_tpu.data.batch import TrafficBatch
+    from cld_tpu.data.packed import PackedShardDataset
+
+    ds = PackedShardDataset(path)
+    Na = num_scenes * agents_per_scene
+    idx = np.arange(start_index, start_index + Na) % ds.num_samples
+    raw = ds.gather(idx)
+    ds.close()
+
+    batch_fields = set(TrafficBatch._fields)
+    batch = TrafficBatch(
+        **{k: jnp.asarray(v) for k, v in raw.items() if k in batch_fields}
+    )
+    scene_index = raw.get(
+        "scene_index",
+        np.repeat(np.arange(num_scenes, dtype=np.int64), agents_per_scene),
+    )
+    world_from_agent = raw.get("world_from_agent")
+    return scene_pack_from_batches(
+        batch,
+        scene_index=np.asarray(scene_index).astype(np.int64).reshape(-1),
+        world_from_agent=world_from_agent,
+        sim_steps=sim_steps,
+        controlled_mask=controlled_mask,
+        **kwargs,
     )

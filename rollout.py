@@ -179,6 +179,12 @@ def main():
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--vae-ckpt", type=str, default=None)
     parser.add_argument("--dm-ckpt", type=str, default=None)
+    parser.add_argument("--scene-data", type=str, default=None,
+                        help="packed-shard directory of converted scenes "
+                             "(cld_tpu.data.convert); builds the sim world "
+                             "from real data instead of the synthetic road "
+                             "(env_trajdata.py:154-231 reset-from-dataset)")
+    parser.add_argument("--scene-start-index", type=int, default=0)
     parser.add_argument("--num-scenes", type=int, default=1)
     parser.add_argument("--agents-per-scene", type=int, default=4)
     parser.add_argument("--num-sim-steps", type=int, default=100)
@@ -239,12 +245,23 @@ def main():
         pixel_size=cfg.env.rasterizer.pixel_size,
         dyn=UnicycleParams.from_config(cfg.algo.dynamics),
     )
-    pack = synthetic_scene_pack(
-        seed=args.seed,
-        num_scenes=args.num_scenes,
-        agents_per_scene=args.agents_per_scene,
-        sim_steps=args.num_sim_steps,
-    )
+    if args.scene_data:
+        from cld_tpu.sim.scene import scene_pack_from_shards
+
+        pack = scene_pack_from_shards(
+            args.scene_data,
+            num_scenes=args.num_scenes,
+            agents_per_scene=args.agents_per_scene,
+            sim_steps=args.num_sim_steps,
+            start_index=args.scene_start_index,
+        )
+    else:
+        pack = synthetic_scene_pack(
+            seed=args.seed,
+            num_scenes=args.num_scenes,
+            agents_per_scene=args.agents_per_scene,
+            sim_steps=args.num_sim_steps,
+        )
     specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
 
     def build_policy(name):
