@@ -57,6 +57,18 @@ def _decay_weights(T: int, decay_rate: float) -> jnp.ndarray:
     return jnp.asarray(w / w.sum(), dtype=jnp.float32)
 
 
+def _time_chunk(T: int, elems_per_step: int, budget: int = 1 << 23) -> int:
+    """Chunk size for horizon scans: as many steps per scan iteration as fit
+    an ~32 MB f32 tile, so small problems run fully parallel (one iteration)
+    and scene-scale problems stay memory-bounded without serializing into T
+    latency-bound micro-steps."""
+    k = max(1, min(T, budget // max(elems_per_step, 1)))
+    # prefer a divisor-ish chunk to minimize padding waste
+    while T % k > 0 and (T % k) < k // 2 and k > 1:
+        k -= 1
+    return k
+
+
 def _mask_gradient(x: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
     """stop_gradient for agents where keep[B] is False."""
     keep = keep.reshape((-1,) + (1,) * (x.ndim - 1))
@@ -130,24 +142,34 @@ class AgentCollisionLoss:
         pair_valid = same_scene & ~jnp.eye(B, dtype=bool)
         w = _decay_weights(T, self.decay_rate)
 
-        # Scan over the horizon instead of materializing the full
-        # [N, T, B, B, D, D] pairwise tensor (O(B^2 D^2 T) HBM): each step
-        # touches one [B, B, N, D, D] tile, and jax.checkpoint recomputes it
-        # on the guidance-gradient backward pass, so peak memory is
-        # O(B^2 N D^2) regardless of T.
-        cent_tw = cent_w.transpose(2, 0, 1, 3, 4)  # [T, B, N, D, 2]
+        # Chunked scan over the horizon instead of materializing the full
+        # [N, T, B, B, D, D] pairwise tensor (O(B^2 D^2 T) HBM). A per-step
+        # scan would bound memory hardest but serializes T tiny steps —
+        # latency-poison on TPU — so we scan CHUNKS sized to a fixed element
+        # budget: each step processes a dense [K, B, B, N, D, D] tile (big
+        # enough to keep the VPU busy), and jax.checkpoint recomputes the
+        # tile on the guidance-gradient backward pass.
+        K = _time_chunk(T, B * B * N * self.num_disks**2)
+        pad = (-T) % K
+        cent_tw = jnp.pad(
+            cent_w.transpose(2, 0, 1, 3, 4), ((0, pad), (0, 0), (0, 0), (0, 0), (0, 0)),
+            constant_values=1e6,  # padded steps land far away -> no collision
+        ).reshape(-1, K, B, N, self.num_disks, 2)
+        w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
 
         @jax.checkpoint
         def step(acc, inp):
-            cent_t, w_t = inp  # [B, N, D, 2], scalar decay weight
-            diff = cent_t[:, None, :, :, None, :] - cent_t[None, :, :, None, :, :]
-            dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-12)  # [B, B, N, D, D]
-            pair = jnp.min(dist.reshape(B, B, N, -1), axis=-1)  # [B, B, N]
-            colliding = (pair <= penalty_dists[..., None]) & pair_valid[..., None]
-            pen = jnp.where(colliding, 1.0 - pair / penalty_dists[..., None], 0.0)
-            return acc + w_t * pen, None
+            cent_k, w_k = inp  # [K, B, N, D, 2], [K]
+            diff = (
+                cent_k[:, :, None, :, :, None, :] - cent_k[:, None, :, :, None, :, :]
+            )  # [K, B, B, N, D, D, 2]
+            dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-12)
+            pair = jnp.min(dist.reshape(K, B, B, N, -1), axis=-1)  # [K, B, B, N]
+            colliding = (pair <= penalty_dists[None, ..., None]) & pair_valid[None, ..., None]
+            pen = jnp.where(colliding, 1.0 - pair / penalty_dists[None, ..., None], 0.0)
+            return acc + jnp.einsum("k,kijn->ijn", w_k, pen), None
 
-        acc, _ = jax.lax.scan(step, jnp.zeros((B, B, N)), (cent_tw, w))
+        acc, _ = jax.lax.scan(step, jnp.zeros((B, B, N)), (cent_tw, w_c))
         per_agent = jnp.mean(acc, axis=1)  # mean over other agents -> [B, N]
         return jnp.where(moving[:, None], per_agent, 0.0)
 
@@ -204,29 +226,38 @@ class MapCollisionLoss:
         # rows -> per detached point, distance to the nearest live on-road
         # point. Loss 1 - d/diag at off-road columns then *pushes the live
         # on-road points away from the (fixed) off-road region*, i.e. pulls
-        # the agent back onto the road. Scanned over the horizon so peak
-        # memory is one [B, N, P, P] tile instead of [B*N*T, P, P];
-        # jax.checkpoint recomputes the tile on the backward pass.
+        # the agent back onto the road. Chunk-scanned over the horizon so
+        # peak memory is one [K, B, N, P, P] tile instead of [B*N*T, P, P];
+        # jax.checkpoint recomputes the tile on the backward pass, and the
+        # chunk size keeps each scan iteration a large parallel tile (see
+        # _time_chunk) rather than T latency-bound micro-steps.
         w = _decay_weights(T, self.decay_rate)
-        pts_t = agt_pts.transpose(2, 0, 1, 3, 4)  # [T, B, N, P, 2]
-        off_t = offroad.transpose(2, 0, 1, 3)  # [T, B, N, P]
-        ov_t = overlap.transpose(2, 0, 1)  # [T, B, N]
+        K = _time_chunk(T, B * N * P * P)
+        pad = (-T) % K
+        pts_t = jnp.pad(
+            agt_pts.transpose(2, 0, 1, 3, 4), ((0, pad),) + ((0, 0),) * 4
+        ).reshape(-1, K, B, N, P, 2)
+        off_t = jnp.pad(offroad.transpose(2, 0, 1, 3), ((0, pad),) + ((0, 0),) * 3)
+        off_t = off_t.reshape(-1, K, B, N, P)
+        ov_t = jnp.pad(overlap.transpose(2, 0, 1), ((0, pad), (0, 0), (0, 0)))
+        ov_t = ov_t.reshape(-1, K, B, N)
+        w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
 
         @jax.checkpoint
         def step(acc, inp):
-            pts, off, ov, w_k = inp  # [B,N,P,2], [B,N,P], [B,N], scalar
+            pts, off, ov, w_k = inp  # [K,B,N,P,2], [K,B,N,P], [K,B,N], [K]
             det = jax.lax.stop_gradient(pts)
             d2 = jnp.sum((pts[..., :, None, :] - det[..., None, :, :]) ** 2, axis=-1)
-            dists = jnp.sqrt(d2 + 1e-12)  # [B, N, P(live rows), P(det cols)]
+            dists = jnp.sqrt(d2 + 1e-12)  # [K, B, N, P(live), P(det)]
             dists = jnp.where(off[..., :, None], jnp.inf, dists)
-            min_dist = jnp.min(dists, axis=-2)  # [B, N, P] over live rows
-            pt_loss = 1.0 - min_dist / diag_len[:, None, None]
+            min_dist = jnp.min(dists, axis=-2)  # [K, B, N, P] over live rows
+            pt_loss = 1.0 - min_dist / diag_len[None, :, None, None]
             pt_loss = jnp.where(off & jnp.isfinite(pt_loss), pt_loss, 0.0)
             # steps fully on/off road contribute nothing (no grad direction)
-            step_loss = jnp.where(ov, jnp.sum(pt_loss, axis=-1), 0.0)  # [B, N]
-            return acc + w_k * step_loss, None
+            step_loss = jnp.where(ov, jnp.sum(pt_loss, axis=-1), 0.0)  # [K, B, N]
+            return acc + jnp.einsum("k,kbn->bn", w_k, step_loss), None
 
-        loss, _ = jax.lax.scan(step, jnp.zeros((B, N)), (pts_t, off_t, ov_t, w))
+        loss, _ = jax.lax.scan(step, jnp.zeros((B, N)), (pts_t, off_t, ov_t, w_c))
         moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
         return jnp.where(moving[:, None], loss, 0.0)
 
