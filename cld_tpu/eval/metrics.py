@@ -46,8 +46,12 @@ def realism_deviation(stats: Dict[str, np.ndarray], dt: float = 0.1) -> Dict[str
     (`guide_dm_trainer.py:253-295`)."""
     long_gt = np.asarray(stats["long_acc_gt"])
     long_pred = np.asarray(stats["long_acc_pred"])
-    jerk_gt = np.diff(long_gt, axis=-1) / dt
-    jerk_pred = np.diff(long_pred, axis=-1) / dt
+    if "jerk_gt" in stats:  # device-computed per-agent jerk (ppo._test_step)
+        jerk_gt = np.asarray(stats["jerk_gt"])
+        jerk_pred = np.asarray(stats["jerk_pred"])
+    else:
+        jerk_gt = np.diff(long_gt, axis=-1) / dt
+        jerk_pred = np.diff(long_pred, axis=-1) / dt
     wd_long = wasserstein_1d(long_gt, long_pred)
     wd_lat = wasserstein_1d(stats["lat_acc_gt"], stats["lat_acc_pred"])
     wd_jerk = wasserstein_1d(jerk_gt, jerk_pred)

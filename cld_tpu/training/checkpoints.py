@@ -27,6 +27,55 @@ def save_pytree(path: str, tree: Any):
     ckptr.close()
 
 
+def save_train_state(path: str, state: Any, loop_step: Optional[int] = None):
+    """Full-state checkpoint for true mid-training resume: params + optimizer
+    moments + step counters (+ batch_stats), matching Lightning's full-state
+    `ckpt_path` resume (`/root/reference/train.py:11-12`,
+    `utils/trainer_utils.py:95-105`) rather than the weights-only handoff.
+
+    `loop_step` is the outer training-loop step; it differs from state.step
+    for PPO, where the optimizer steps `epochs*update_times` times per
+    collection step.
+    """
+    import numpy as np
+
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "loop_step": np.asarray(loop_step if loop_step is not None else state.step, np.int64),
+    }
+    bs = getattr(state, "batch_stats", None)
+    if bs is not None:
+        tree["batch_stats"] = bs
+    save_pytree(path, tree)
+
+
+def restore_train_state(path: str, state: Any):
+    """Restore a full-state checkpoint into an initialized train state.
+    Returns (state, loop_step)."""
+    import numpy as np
+
+    like = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "loop_step": np.asarray(0, np.int64),
+    }
+    bs = getattr(state, "batch_stats", None)
+    if bs is not None:
+        like["batch_stats"] = bs
+    restored = restore_pytree(path, like=like)
+    kwargs = {
+        "params": restored["params"],
+        "opt_state": restored["opt_state"],
+        "step": restored["step"],
+    }
+    if "batch_stats" in restored:
+        kwargs["batch_stats"] = restored["batch_stats"]
+    return state.replace(**kwargs), int(restored["loop_step"])
+
+
 def restore_pytree(path: str, like: Optional[Any] = None) -> Any:
     """Restore a pytree; `like` provides the target structure/shardings."""
     path = os.path.abspath(path)

@@ -214,5 +214,9 @@ class PPOTrainer:
             "long_acc_pred": scaled_flat[..., 4],
             "lat_acc_gt": gt_scaled[..., 2] * gt_scaled[..., 5],
             "lat_acc_pred": scaled_flat[..., 2] * scaled_flat[..., 5],
+            # per-agent jerk (finite difference along T, matching
+            # guide_dm_trainer.py:229-231 before its per-batch flatten)
+            "jerk_gt": jnp.diff(gt_scaled[..., 4], axis=-1) / self.dt,
+            "jerk_pred": jnp.diff(scaled_flat[..., 4], axis=-1) / self.dt,
         }
         return rates, stats

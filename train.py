@@ -27,7 +27,12 @@ import numpy as np
 from cld_tpu.data.loader import make_loader
 from cld_tpu.eval.metrics import realism_deviation
 from cld_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from cld_tpu.training.checkpoints import restore_pytree, save_pytree
+from cld_tpu.training.checkpoints import (
+    restore_pytree,
+    restore_train_state,
+    save_pytree,
+    save_train_state,
+)
 from cld_tpu.training.dm import DMTrainer
 from cld_tpu.training.ppo import PPOTrainer, buffer_init
 from cld_tpu.training.vae import VAETrainer
@@ -75,10 +80,16 @@ def train_vae(cfg, args):
     it = iter(loader)
     first = shard_batch(next(it), mesh)
     state = replicate(trainer.init_state(jax.random.key(cfg.seed), first), mesh)
+    start_step = 0
+    if args.resume:
+        state, start_step = restore_train_state(args.resume, state)
+        print(f"resumed full train state from {args.resume} at step {start_step}")
+        for _ in range(start_step):  # realign the data stream with the step
+            next(it)
     rng = jax.random.key(cfg.seed + 1)
     num_steps = args.steps or cfg.train.training.num_steps
     t0 = time.time()
-    for step in range(num_steps):
+    for step in range(start_step, num_steps):
         batch = shard_batch(next(it), mesh)
         state, metrics = trainer.train_step(state, batch, rng)
         logger.log(step, metrics)
@@ -87,10 +98,12 @@ def train_vae(cfg, args):
                 os.path.join(out_dir, f"ckpt_{step + 1}"),
                 {"params": state.params, "batch_stats": state.batch_stats},
             )
+            save_train_state(os.path.join(out_dir, f"ckpt_{step + 1}_full"), state, loop_step=step + 1)
     save_pytree(
         os.path.join(out_dir, "ckpt_final"),
         {"params": state.params, "batch_stats": state.batch_stats},
     )
+    save_train_state(os.path.join(out_dir, "ckpt_final_full"), state, loop_step=num_steps)
     print(f"vae done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
 
 
@@ -119,16 +132,24 @@ def train_dm(cfg, args):
     first = shard_batch(next(it), mesh)
     dm_trainer, dm_state = _build_dm(cfg, args, first)
     dm_state = replicate(dm_state, mesh)
+    start_step = 0
+    if args.resume:
+        dm_state, start_step = restore_train_state(args.resume, dm_state)
+        print(f"resumed full train state from {args.resume} at step {start_step}")
+        for _ in range(start_step):  # realign the data stream with the step
+            next(it)
     rng = jax.random.key(cfg.seed + 3)
     num_steps = args.steps or cfg.train.training.num_steps
     t0 = time.time()
-    for step in range(num_steps):
+    for step in range(start_step, num_steps):
         batch = shard_batch(next(it), mesh)
         dm_state, metrics = dm_trainer.train_step(dm_state, batch, rng)
         logger.log(step, metrics)
         if cfg.train.save.enabled and (step + 1) % cfg.train.save.every_n_steps == 0:
             save_pytree(os.path.join(out_dir, f"ckpt_{step + 1}"), {"params": dm_state.params})
+            save_train_state(os.path.join(out_dir, f"ckpt_{step + 1}_full"), dm_state, loop_step=step + 1)
     save_pytree(os.path.join(out_dir, "ckpt_final"), {"params": dm_state.params})
+    save_train_state(os.path.join(out_dir, "ckpt_final_full"), dm_state, loop_step=num_steps)
     print(f"dm done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
 
 
@@ -146,11 +167,19 @@ def train_ppo(cfg, args):
         cfg.algo.buffer_max, cfg.algo.horizon, cfg.algo.vae.latent_size,
         cfg.algo.cond_feat_dim,
     )
+    start_step = 0
+    if args.resume:
+        # optimizer + step resume; the on-device replay buffer is transient
+        # (the reference's CPU deque is likewise not checkpointed)
+        dm_state, start_step = restore_train_state(args.resume, dm_state)
+        print(f"resumed full train state from {args.resume} at step {start_step}")
+        for _ in range(start_step):  # realign the data stream with the step
+            next(it)
     rng = jax.random.key(cfg.seed + 4)
     num_steps = args.steps or cfg.train.training.num_steps
     update_interval = cfg.algo.update_interval
     t0 = time.time()
-    for step in range(num_steps):
+    for step in range(start_step, num_steps):
         rng, collect_rng, update_rng = jax.random.split(rng, 3)
         batch = shard_batch(next(it), mesh)
         buf, metrics = ppo.collect_step(dm_state, buf, batch, collect_rng)
@@ -160,7 +189,9 @@ def train_ppo(cfg, args):
         logger.log(step, metrics)
         if cfg.train.save.enabled and (step + 1) % cfg.train.save.every_n_steps == 0:
             save_pytree(os.path.join(out_dir, f"ckpt_{step + 1}"), {"params": dm_state.params})
+            save_train_state(os.path.join(out_dir, f"ckpt_{step + 1}_full"), dm_state, loop_step=step + 1)
     save_pytree(os.path.join(out_dir, "ckpt_final"), {"params": dm_state.params})
+    save_train_state(os.path.join(out_dir, "ckpt_final_full"), dm_state, loop_step=num_steps)
     print(f"ppo done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
 
 
@@ -240,6 +271,11 @@ def main():
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--vae-ckpt", type=str, default=None)
     parser.add_argument("--dm-ckpt", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="full-state checkpoint (ckpt_*_full) to resume "
+                             "mid-training: params + optimizer moments + "
+                             "step counter (Lightning ckpt_path resume, "
+                             "trainer_utils.py:95-105)")
     args = parser.parse_args()
 
     if args.registered_name:
