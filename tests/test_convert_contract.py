@@ -1,0 +1,193 @@
+"""Converter contract test: `convert_nuscenes` executes end-to-end against a
+stub trajdata module (VERDICT #5).
+
+The stub reproduces the trajdata surface the converter consumes — the
+`UnifiedDataset` constructor signature, `get_collate_fn`, StateTensor-like
+batch elements with .position/.heading/.velocity, `maps` [B, C, H, W],
+`agent_hist_extent`, `agents_from_world_tf`, `scene_ids`, `scene_ts` — with
+deterministic unicycle-consistent trajectories on a straight-road map, so
+the converter's field contract (shapes, drivable layer semantics, duck-typed
+StateTensor access) is exercised in CI even though trajdata itself is absent
+(ref: `trajdata_utils.py:346-475`, `configs/datamodules.py:24-66`).
+"""
+
+import enum
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+class _StateStub:
+    """Duck-typed trajdata StateTensor: .position/.velocity/.heading."""
+
+    def __init__(self, pos, vel, heading):
+        self.position = torch.as_tensor(pos)
+        self.velocity = torch.as_tensor(vel)
+        self.heading = torch.as_tensor(heading)
+
+
+def _make_stub_trajdata(num_samples=8, hist=31, fut=52, neigh=5, raster=64):
+    """Install a stub `trajdata` into sys.modules and return its config."""
+
+    class AgentType(enum.IntEnum):
+        VEHICLE = 1
+        PEDESTRIAN = 2
+
+    class UnifiedDataset:
+        def __init__(self, **kwargs):
+            self.kwargs = kwargs
+            # contract assertions on the construction the converter performs
+            # (datamodules.py:24-66)
+            assert kwargs["centric"] == "agent"
+            assert kwargs["standardize_data"] is True
+            assert kwargs["ego_only"] is True
+            assert kwargs["raster_map_params"]["map_size_px"] == raster
+            self.rng = np.random.default_rng(7)
+
+        def __len__(self):
+            return num_samples
+
+        def __getitem__(self, i):
+            return i
+
+        def get_collate_fn(self, return_dict=True):
+            assert return_dict
+
+            def collate(indices):
+                B = len(indices)
+                dt = 0.1
+                # ego: straight road along +x at per-sample speed
+                speed = 3.0 + np.asarray(indices, np.float32)
+                t_h = (np.arange(hist) - (hist - 1)) * dt  # history ending at 0
+                t_f = np.arange(1, fut + 1) * dt
+                hist_pos = np.zeros((B, hist, 2), np.float32)
+                hist_pos[..., 0] = speed[:, None] * t_h[None]
+                fut_pos = np.zeros((B, fut, 2), np.float32)
+                fut_pos[..., 0] = speed[:, None] * t_f[None]
+                zeros_h = np.zeros((B, hist, 1), np.float32)
+                zeros_f = np.zeros((B, fut, 1), np.float32)
+                vel_h = np.stack(
+                    [np.broadcast_to(speed[:, None], (B, hist)),
+                     np.zeros((B, hist), np.float32)], -1)
+                vel_f = np.stack(
+                    [np.broadcast_to(speed[:, None], (B, fut)),
+                     np.zeros((B, fut), np.float32)], -1)
+
+                n_hist = np.tile(hist_pos[:, None], (1, neigh, 1, 1))
+                n_hist[..., 1] += np.arange(1, neigh + 1)[None, :, None] * 3.0
+                n_fut = np.tile(fut_pos[:, None], (1, neigh, 1, 1))
+                n_fut[..., 1] += np.arange(1, neigh + 1)[None, :, None] * 3.0
+                # trajdata pads missing neighbors with NaN
+                n_hist[:, -1] = np.nan
+                n_fut[:, -1] = np.nan
+
+                maps = np.zeros((B, 3, raster, raster), np.float32)
+                # drivable band around the ego row (converter: layer 0)
+                maps[:, 0, raster // 4 : 3 * raster // 4, :] = 1.0
+                maps[:, 1] = 0.3
+
+                extent = np.tile(
+                    np.array([4.5, 2.0, 1.7], np.float32), (B, hist, 1)
+                )
+                a_from_w = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+                a_from_w[:, 0, 2] = -10.0 * np.asarray(indices, np.float32)
+
+                return {
+                    "agent_hist": _StateStub(
+                        hist_pos, vel_h, zeros_h
+                    ),
+                    "agent_fut": _StateStub(fut_pos, vel_f, zeros_f),
+                    "neigh_hist": _StateStub(
+                        n_hist,
+                        np.zeros_like(n_hist),
+                        np.zeros((B, neigh, hist, 1), np.float32),
+                    ),
+                    "neigh_fut": _StateStub(
+                        n_fut,
+                        np.zeros_like(n_fut),
+                        np.zeros((B, neigh, fut, 1), np.float32),
+                    ),
+                    "maps": torch.as_tensor(maps),
+                    "agent_hist_extent": torch.as_tensor(extent),
+                    "agents_from_world_tf": torch.as_tensor(a_from_w),
+                    "scene_ids": [f"scene-{i % 2}" for i in indices],
+                    "scene_ts": torch.as_tensor(
+                        np.asarray(indices, np.int64) + 100
+                    ),
+                }
+
+            return collate
+
+    mod = types.ModuleType("trajdata")
+    mod.AgentType = AgentType
+    mod.UnifiedDataset = UnifiedDataset
+    sys.modules["trajdata"] = mod
+    return mod
+
+
+@pytest.fixture()
+def stub_trajdata():
+    had = sys.modules.get("trajdata")
+    mod = _make_stub_trajdata()
+    yield mod
+    if had is None:
+        sys.modules.pop("trajdata", None)
+    else:
+        sys.modules["trajdata"] = had
+
+
+def test_convert_nuscenes_executes_and_validates(stub_trajdata, tmp_path):
+    from cld_tpu.data.convert import convert_nuscenes
+
+    out = str(tmp_path / "nusc_shards")
+    convert_nuscenes(
+        out, data_dir="/nonexistent", batch_size=4, raster_size=64,
+        history_frames=30, future_frames=52, max_samples=8,
+    )
+
+    from cld_tpu.data.batch import TrafficBatch
+    from cld_tpu.data.packed import PackedShardDataset
+
+    ds = PackedShardDataset(out)
+    assert ds.num_samples == 8
+    raw = ds.gather(np.arange(4))
+    # converter-recorded world/scene metadata
+    assert raw["world_from_agent"].shape == (4, 3, 3)
+    np.testing.assert_allclose(raw["world_from_agent"][1, 0, 2], 10.0, atol=1e-5)
+    assert raw["scene_ts"].tolist() == [100, 101, 102, 103]
+    assert len(np.unique(raw["scene_index"])) == 2
+
+    batch_fields = set(TrafficBatch._fields)
+    import jax.numpy as jnp
+
+    batch = TrafficBatch(
+        **{k: jnp.asarray(v) for k, v in raw.items() if k in batch_fields}
+    )
+    # image layout: hist channels then 3 semantic layers; drivable = layer 0
+    assert batch.image.shape == (4, 64, 64, 31 + 3)
+    assert float(batch.drivable_map.max()) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(batch.drivable_map), np.asarray(batch.image[..., 31]), atol=0
+    )
+
+    # the converted batch passes the consistency validator...
+    from cld_tpu.data.validation import check_batch_consistency
+
+    problems = check_batch_consistency(batch)
+    assert problems == [], problems
+
+    # ...and feeds a real VAE train step
+    from cld_tpu.training.vae import VAETrainer
+    from cld_tpu.utils.registry import get_registered_experiment_config
+    import jax
+
+    cfg = get_registered_experiment_config("cld_smoke")
+    trainer = VAETrainer(cfg)
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    ds.close()
