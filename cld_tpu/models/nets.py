@@ -87,7 +87,10 @@ class Conv1dBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, dtype=self.dtype, name="norm")(x)
+        # epsilon matches torch.nn.GroupNorm (1e-5); flax defaults to 1e-6
+        x = nn.GroupNorm(
+            num_groups=self.n_groups, epsilon=1e-5, dtype=self.dtype, name="norm"
+        )(x)
         return mish(x)
 
 

@@ -71,3 +71,105 @@ def reference_unicycle():
     if mod is None:
         pytest.skip("reference unicycle not importable")
     return mod
+
+
+def install_reference_stubs():
+    """Install torchvision + trajdata module stubs so the reference tbsim
+    package (and the project models importing it) can be loaded for golden
+    parity tests. Only names referenced at import time are stubbed; calling
+    a stubbed torchvision factory raises."""
+    import enum
+
+    def mkpkg(name):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__path__ = []
+        sys.modules[name] = m
+        return m
+
+    tv = mkpkg("torchvision")
+    tvm = mkpkg("torchvision.models")
+    tvr = mkpkg("torchvision.models.resnet")
+    tvf = mkpkg("torchvision.models.feature_extraction")
+    tvo = mkpkg("torchvision.ops")
+
+    def _stub(*a, **k):
+        raise RuntimeError("torchvision stub called")
+
+    tvr.resnet18 = tvr.resnet34 = tvr.resnet50 = _stub
+    tvf.create_feature_extractor = _stub
+
+    class RoIAlign:  # referenced at import in cnn_roi_encoder
+        def __init__(self, *a, **k):
+            pass
+
+    tvo.RoIAlign = RoIAlign
+    tv.models, tvm.resnet, tvm.feature_extraction, tv.ops = tvm, tvr, tvf, tvo
+
+    td = mkpkg("trajdata")
+
+    class AgentType(enum.IntEnum):
+        UNKNOWN = 0
+        VEHICLE = 1
+        PEDESTRIAN = 2
+        BICYCLE = 3
+        MOTORCYCLE = 4
+
+    for cls_name in ("AgentBatch", "SceneBatch", "UnifiedDataset"):
+        setattr(td, cls_name, type(cls_name, (), {}))
+    td.AgentType = AgentType
+    ds = mkpkg("trajdata.data_structures")
+    ds.AgentType = AgentType
+    st = mkpkg("trajdata.data_structures.state")
+    st.StateTensor = type("StateTensor", (), {})
+    st.StateArray = type("StateArray", (), {})
+    be = mkpkg("trajdata.data_structures.batch_element")
+    be.AgentBatchElement = type("AgentBatchElement", (), {})
+    be.SceneBatchElement = type("SceneBatchElement", (), {})
+    mkpkg("trajdata.utils")
+    au = mkpkg("trajdata.utils.arr_utils")
+    au.angle_wrap = lambda x: x
+    au.transform_angles_np = au.transform_coords_np = au.transform_xyh_np = (
+        lambda *a, **k: None
+    )
+    su = mkpkg("trajdata.utils.state_utils")
+    su.transform_state_np_2d = lambda *a, **k: None
+    mp = mkpkg("trajdata.maps")
+    mp.VectorMap = type("VectorMap", (), {})
+    vme = mkpkg("trajdata.maps.vec_map_elements")
+    vme.RoadLane = type("RoadLane", (), {})
+    ma = mkpkg("trajdata.maps.map_api")
+    ma.MapAPI = type("MapAPI", (), {})
+    mkpkg("trajdata.visualization")
+    visv = mkpkg("trajdata.visualization.vis")
+    visv.draw_map = visv.draw_agent = visv.draw_history = lambda *a, **k: None
+
+
+def load_reference_project_file(relpath: str, modname: str):
+    """importlib-load a reference project file (e.g. models/dm/dm_model.py)
+    after install_reference_stubs(); reference tbsim resolves via sys.path."""
+    path = REFERENCE_ROOT / relpath
+    if not path.exists():
+        return None
+    for p in (str(REFERENCE_ROOT / "src"), str(REFERENCE_ROOT)):
+        if p not in sys.path:
+            sys.path.append(p)
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="session")
+def reference_env():
+    """Stubbed import environment for reference golden-parity tests."""
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        pytest.skip("torch unavailable")
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference tree unavailable")
+    install_reference_stubs()
+    return load_reference_project_file
