@@ -58,6 +58,12 @@ class TrafficBatch(NamedTuple):
     # — consumed by the global (world-frame, time-aware) guidance losses
     history_speeds: Optional[jnp.ndarray] = None
     sim_step: Optional[jnp.ndarray] = None
+    # closest lane-center points in the agent frame, masked — the canonical
+    # form of the reference's extras["closest_lane_point"]
+    # (configs/datamodules.py:53-56, trajdata_utils.py:959-1019), flattened
+    # from [S_seg, S_point, 3] to one dense point set: [B, L, 3], [B, L]
+    lane_points: Optional[jnp.ndarray] = None
+    lane_avail: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:

@@ -59,6 +59,52 @@ def _state_to_pos_yaw_speed(state):
     )
 
 
+def _closest_lane_point_extra(
+    S_seg: int = 15,
+    S_point: int = 80,
+    map_max_dist: float = 80.0,
+    max_heading_error: float = 0.25 * np.pi,
+    ahead_threshold: float = -40.0,
+    dist_weight: float = 1.0,
+    heading_weight: float = 0.1,
+):
+    """trajdata `extras` hook producing [S_seg, S_point, 3] (x, y, yaw)
+    agent-frame closest-lane points, NaN-padded — capability parity with
+    `get_closest_lane_point_wrapper`
+    (`/root/reference/src/tbsim/utils/trajdata_utils.py:882-1019`), same
+    default params (`:959-971`). Runs only at conversion sites with trajdata."""
+
+    def fn(element):
+        vec_map = element.vec_map
+        a_from_w = np.asarray(element.agent_from_world_tf)
+        w_from_a = np.linalg.inv(a_from_w)
+        yaw_w = np.arctan2(w_from_a[1, 0], w_from_a[0, 0])
+        pos_w = w_from_a[:2, 2]
+        point_xyzh = np.array([pos_w[0], pos_w[1], 0.0, yaw_w])
+        lanes = vec_map.get_current_lane(
+            point_xyzh, max_dist=map_max_dist, max_heading_error=max_heading_error
+        )[:S_seg]
+        out = np.full((S_seg, S_point, 3), np.nan, np.float32)
+        for i, lane in enumerate(lanes):
+            pts = np.asarray(lane.center.points)  # [P, 4+] (x, y, z, h)
+            xyh_w = pts[:, [0, 1, 3]]
+            score = dist_weight * np.linalg.norm(
+                xyh_w[:, :2] - pos_w, axis=-1
+            ) + heading_weight * np.abs(xyh_w[:, 2] - yaw_w)
+            order = np.argsort(score)
+            xy_a = xyh_w[order, :2] @ a_from_w[:2, :2].T + a_from_w[:2, 2]
+            h_a = xyh_w[order, 2] + np.arctan2(a_from_w[1, 0], a_from_w[0, 0])
+            keep = xy_a[:, 0] > ahead_threshold
+            xy_a, h_a = xy_a[keep][:S_point], h_a[keep][:S_point]
+            out[i, : len(xy_a), :2] = xy_a
+            out[i, : len(xy_a), 2] = h_a
+        import torch
+
+        return torch.as_tensor(out)
+
+    return fn
+
+
 def convert_nuscenes(
     out: str,
     data_dir: str,
@@ -121,12 +167,16 @@ def convert_nuscenes(
             "offset_frac_xy": (-0.5, 0.0),
             "no_map_fill_value": -1.0,
         },
+        incl_vector_map=True,
         centric="agent",
         standardize_data=True,
         ego_only=True,
         max_neighbor_num=max_neighbor_num,
         verbose=True,
         num_workers=0,
+        # lane extras consumed by the lane_following guidance + the
+        # closed-loop lane context (datamodules.py:53-56)
+        extras={"closest_lane_point": _closest_lane_point_extra()},
     )
     loader = DataLoader(
         dataset, batch_size=batch_size, shuffle=False,
@@ -177,6 +227,15 @@ def convert_nuscenes(
         push("all_other_agents_history_positions", n_hist_pos)
         push("all_other_agents_history_yaws", n_hist_yaw)
         push("all_other_agents_history_availability", n_hist_mask)
+
+        # lane extras: [B, S_seg, S_point, 3] NaN-padded -> dense + mask
+        extras = raw.get("extras", {})
+        if "closest_lane_point" in extras:
+            clp = np.asarray(extras["closest_lane_point"].numpy(), np.float32)
+            clp = clp.reshape(B, -1, 3)
+            avail = np.isfinite(clp).all(-1)
+            push("lane_points", np.nan_to_num(clp))
+            fields.setdefault("lane_avail", []).append(avail)
 
         # world pose + scene metadata so converted samples can seed the
         # closed-loop simulator (sim.scene.scene_pack_from_batches mirrors

@@ -147,6 +147,17 @@ def synthetic_batch(
         np.array([4.5, 2.0, 1.7], dtype=np.float32), (B, 3)
     ).copy()
 
+    # agent-frame lane centerlines matching the painted lane raster layer
+    # (the synthetic analogue of extras["closest_lane_point"])
+    from cld_tpu.ops.lanes import straight_lane_polylines
+
+    lane_pts, lane_avail = straight_lane_polylines(
+        (-road_half_width / 2, road_half_width / 2),
+        x_min=-40.0, x_max=88.0, spacing=2.0, max_points=128,
+    )
+    lane_points_b = np.broadcast_to(lane_pts, (B,) + lane_pts.shape).copy()
+    lane_avail_b = np.broadcast_to(lane_avail, (B,) + lane_avail.shape).copy()
+
     return TrafficBatch(
         image=jnp.asarray(image),
         drivable_map=jnp.asarray(drivable_map),
@@ -164,4 +175,6 @@ def synthetic_batch(
         all_other_agents_history_positions=jnp.asarray(n_hist),
         all_other_agents_history_yaws=jnp.asarray(n_hist_yaws),
         all_other_agents_history_availability=jnp.asarray(n_hist_avail),
+        lane_points=jnp.asarray(lane_points_b),
+        lane_avail=jnp.asarray(lane_avail_b),
     )

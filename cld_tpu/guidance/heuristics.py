@@ -21,6 +21,7 @@ from cld_tpu.guidance.losses import (
     CollisionAttackLoss,
     GlobalTargetPosLoss,
     KeepDistanceLoss,
+    LaneFollowingLoss,
     MapCollisionLoss,
     SocialGroupLoss,
     SpeedLimitLoss,
@@ -47,6 +48,15 @@ def heuristic_map_collision(weight: float = 10.0):
 
 def heuristic_speed_limit(speed_limit: float = 15.0, weight: float = 1.0):
     return GuidanceSpec(SpeedLimitLoss(speed_limit=speed_limit), weight)
+
+
+def heuristic_lane_following(pack, state, weight: float = 1.0, **kw):
+    """Keep agents near lane centers (`scene_edit_utils.py` lane heuristics;
+    the closest-lane context is produced per replan from the ScenePack's
+    lane polylines — see rollout.make_dm_policy / ops/lanes.py)."""
+    if getattr(pack, "lane_points", None) is None:
+        return None
+    return GuidanceSpec(LaneFollowingLoss(**kw), weight)
 
 
 def heuristic_global_target_pos(pack, state, horizon_s: float = 10.0, weight: float = 1.0):
@@ -230,6 +240,7 @@ HEURISTIC_MAP = {
     "agent_collision": lambda pack, state, **kw: heuristic_agent_collision(**kw),
     "map_collision": lambda pack, state, **kw: heuristic_map_collision(**kw),
     "speed_limit": lambda pack, state, **kw: heuristic_speed_limit(**kw),
+    "lane_following": heuristic_lane_following,
     "global_target_pos": heuristic_global_target_pos,
     "stop_sign": heuristic_stop_sign,
     "social_group": heuristic_social_group,

@@ -582,16 +582,21 @@ class LaneFollowingLoss:
         d2 = jnp.sum(
             (pos[:, :, :, None, :] - lanes[:, None, None, :, :2]) ** 2, axis=-1
         )  # [B, N, T, L]
-        d2 = jnp.where(avail[:, None, None, :], d2, jnp.inf)
-        # soft assignment over lane points keeps gradients smooth
-        w = jax.nn.softmax(-self.softmin_temp * jnp.sqrt(d2 + 1e-9), axis=-1)
-        pos_dev = jnp.sum(w * jnp.sqrt(d2 + 1e-9), axis=-1)  # [B, N, T]
-        lane_yaw = jnp.sum(w * lanes[:, None, None, :, 2], axis=-1)
+        d = jnp.sqrt(d2 + 1e-9)
+        # soft assignment over lane points keeps gradients smooth; masked
+        # points get a large FINITE logit penalty (inf would make the
+        # 0-weight * inf-distance product NaN under jax.grad)
+        am = avail[:, None, None, :]
+        w = jax.nn.softmax(-self.softmin_temp * jnp.where(am, d, 1e9), axis=-1)
+        pos_dev = jnp.sum(w * jnp.where(am, d, 0.0), axis=-1)  # [B, N, T]
+        lane_yaw = jnp.sum(w * jnp.where(am, lanes[:, None, None, :, 2], 0.0), axis=-1)
         from cld_tpu.ops.dynamics import angle_diff
 
         yaw_dev = jnp.abs(angle_diff(yaw, lane_yaw))
         per_step = self.pos_weight * pos_dev + self.yaw_weight * yaw_dev
-        return jnp.mean(per_step, axis=-1)
+        # agents whose scene has no lane points contribute nothing
+        has_lane = jnp.any(avail, axis=-1)[:, None, None]
+        return jnp.mean(per_step * has_lane, axis=-1)
 
 
 GUIDANCE_LOSS_MAP = {

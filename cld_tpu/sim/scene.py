@@ -29,6 +29,11 @@ class ScenePack(NamedTuple):
     controlled_mask: jnp.ndarray  # [Na] bool: policy-controlled vs replay
     replay_actions: jnp.ndarray  # [Na, T_sim, 2] (acc, yawvel) for replay agents
     extent: jnp.ndarray  # [Na, 3]
+    # lane centerlines: world-frame (x, y, yaw) points per scene, masked —
+    # the dense analogue of trajdata's VectorMap lane centers consumed by
+    # the closest-lane machinery (ops/lanes.py; ref trajdata_utils.py:882-1019)
+    lane_points: Optional[jnp.ndarray] = None  # [Ns, L, 3]
+    lane_avail: Optional[jnp.ndarray] = None  # [Ns, L] bool
 
     @property
     def num_agents(self) -> int:
@@ -82,6 +87,13 @@ def synthetic_scene_pack(
 
     extent = np.broadcast_to(np.array([4.5, 2.0, 1.7], np.float32), (Na, 3)).copy()
 
+    # lane centerlines matching the painted lane raster layer
+    from cld_tpu.ops.lanes import straight_lane_polylines
+
+    lane_pts, lane_avail = straight_lane_polylines(
+        lanes, x_min=origin[0], x_max=origin[0] + Ww * map_resolution
+    )
+
     return ScenePack(
         world_map=jnp.asarray(world_map),
         map_origin=jnp.asarray(np.broadcast_to(origin, (Ns, 2)).copy()),
@@ -91,6 +103,8 @@ def synthetic_scene_pack(
         controlled_mask=jnp.asarray(controlled),
         replay_actions=jnp.asarray(replay_actions),
         extent=jnp.asarray(extent),
+        lane_points=jnp.asarray(np.broadcast_to(lane_pts, (Ns,) + lane_pts.shape).copy()),
+        lane_avail=jnp.asarray(np.broadcast_to(lane_avail, (Ns,) + lane_avail.shape).copy()),
     )
 
 
@@ -228,6 +242,35 @@ def scene_pack_from_batches(
     if controlled_mask is None:
         controlled_mask = np.ones(B, bool)
 
+    # lane centerlines: union of the samples' agent-frame closest-lane-point
+    # extras (converter-recorded, mirroring the reference's
+    # extras["closest_lane_point"], configs/datamodules.py:53-56), lifted to
+    # the world frame and deduped per scene
+    Ns = len(scenes)
+    if batch.lane_points is not None:
+        from cld_tpu.ops.lanes import merge_scene_lanes
+
+        lp = np.asarray(batch.lane_points)  # [B, L0, 3] agent frame
+        la = (
+            np.asarray(batch.lane_avail) > 0
+            if batch.lane_avail is not None
+            else np.isfinite(lp).all(-1)
+        )
+        cos = world_from_agent[:, 0, 0][:, None]
+        sin = world_from_agent[:, 1, 0][:, None]
+        lp_w = np.stack(
+            [
+                cos * lp[..., 0] - sin * lp[..., 1] + world_from_agent[:, 0, 2][:, None],
+                sin * lp[..., 0] + cos * lp[..., 1] + world_from_agent[:, 1, 2][:, None],
+                lp[..., 2] + np.arctan2(world_from_agent[:, 1, 0], world_from_agent[:, 0, 0])[:, None],
+            ],
+            axis=-1,
+        )
+        lane_pts, lane_avail = merge_scene_lanes(lp_w, la, dense_scene, Ns)
+    else:
+        lane_pts = np.zeros((Ns, 256, 3), np.float32)
+        lane_avail = np.zeros((Ns, 256), bool)
+
     return ScenePack(
         world_map=jnp.asarray(world_map),
         map_origin=jnp.asarray(origins),
@@ -237,6 +280,8 @@ def scene_pack_from_batches(
         controlled_mask=jnp.asarray(np.asarray(controlled_mask)),
         replay_actions=jnp.asarray(replay),
         extent=jnp.asarray(batch.extent),
+        lane_points=jnp.asarray(lane_pts),
+        lane_avail=jnp.asarray(lane_avail),
     )
 
 

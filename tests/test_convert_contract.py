@@ -96,7 +96,17 @@ def _make_stub_trajdata(num_samples=8, hist=31, fut=52, neigh=5, raster=64):
                 a_from_w = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
                 a_from_w[:, 0, 2] = -10.0 * np.asarray(indices, np.float32)
 
+                # extras: closest-lane points as trajdata computes them from
+                # the element hooks (here: one straight lane ahead, NaN-padded
+                # second segment) — [B, S_seg, S_point, 3]
+                clp = np.full((B, 2, 6, 3), np.nan, np.float32)
+                lane_x = np.linspace(0, 25, 6, dtype=np.float32)
+                clp[:, 0, :, 0] = lane_x[None]
+                clp[:, 0, :, 1] = 0.0
+                clp[:, 0, :, 2] = 0.0
+
                 return {
+                    "extras": {"closest_lane_point": torch.as_tensor(clp)},
                     "agent_hist": _StateStub(
                         hist_pos, vel_h, zeros_h
                     ),
@@ -173,6 +183,12 @@ def test_convert_nuscenes_executes_and_validates(stub_trajdata, tmp_path):
     np.testing.assert_allclose(
         np.asarray(batch.drivable_map), np.asarray(batch.image[..., 31]), atol=0
     )
+
+    # lane extras recorded as dense points + mask
+    assert raw["lane_points"].shape == (4, 12, 3)
+    assert raw["lane_avail"].dtype == np.bool_
+    assert raw["lane_avail"][:, :6].all() and not raw["lane_avail"][:, 6:].any()
+    assert batch.lane_points is not None
 
     # the converted batch passes the consistency validator...
     from cld_tpu.data.validation import check_batch_consistency
