@@ -8,6 +8,7 @@ device inside eval scans or on host.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cld_tpu.ops.geometry import transform_points
@@ -85,6 +86,58 @@ def batch_detect_off_road_disk(
     pts = jnp.stack([px, py], axis=-1)  # [B, T, D, 2]
     off = batch_detect_off_road(pts, drivable_map, raster_from_agent)
     return jnp.any(off > 0, axis=-1).astype(jnp.float32)
+
+
+def batch_neg_multi_log_likelihood(
+    gt: jnp.ndarray,
+    pred: jnp.ndarray,
+    confidences: jnp.ndarray,
+    avails: jnp.ndarray,
+) -> jnp.ndarray:
+    """Multi-modal NLL with the log-sum-exp trick
+    (`metrics.py:66-110`, the l5kit competition loss): gt [B, T, 2],
+    pred [B, M, T, 2], confidences [B, M], avails [B, T] -> [B]."""
+    err = jnp.sum(((gt[:, None] - pred) * avails[:, None, :, None]) ** 2, axis=-1)
+    log_conf = jnp.log(jnp.clip(confidences, 1e-12))
+    e = log_conf - 0.5 * jnp.sum(err, axis=-1)  # [B, M]
+    return -jax.nn.logsumexp(e, axis=-1)
+
+
+def log_normal(x: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
+               avails: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Elementwise diagonal-Gaussian log density summed over D
+    (`metrics.py:505-525` log_normal): x [B, M, D], m/v [B|1, M, D] -> [B, M]."""
+    lp = -0.5 * (jnp.log(2 * jnp.pi * v) + (x - m) ** 2 / v)
+    if avails is not None:
+        lp = lp * avails
+    return jnp.sum(lp, axis=-1)
+
+
+def gmm_loglikelihood(
+    x: jnp.ndarray,
+    m: jnp.ndarray,
+    v: jnp.ndarray | None,
+    pi: jnp.ndarray,
+    avails: jnp.ndarray | None = None,
+    mode: str = "mean",
+) -> jnp.ndarray:
+    """Log probability of x under a mixture of diagonal Gaussians
+    (`metrics.py:549-582` GMM_loglikelihood): x [B, D], m/v [B|1, M, D],
+    pi [B, M] -> [B]. mode aggregates the per-mode pi-weighted log probs
+    exactly as the reference does (sum | mean | max over modes)."""
+    if v is None:
+        v = jnp.ones_like(m)
+    xe = x[:, None]  # [B, 1, D]
+    av = avails[:, None] if avails is not None else None
+    log_prob = log_normal(xe, m, v, avails=av)  # [B, M]
+    weighted = pi * log_prob
+    if mode == "sum":
+        return weighted.sum(1)
+    if mode == "mean":
+        return weighted.mean(1)
+    if mode == "max":
+        return weighted.max(1)
+    raise ValueError(f"unknown mode {mode!r}")
 
 
 def trajectory_diversity(pred: jnp.ndarray) -> jnp.ndarray:

@@ -113,6 +113,21 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                     [hp_w, obs.history_speeds[..., None],
                      obs.history_yaws + dyaw[:, None, None]], axis=-1,
                 )
+            # per-step closest-lane query against the scene's lane
+            # centerlines (ops/lanes.py; the closed-loop analogue of the
+            # reference's extras["closest_lane_point"])
+            lane_pts = lane_av = None
+            if pack.lane_points is not None and obs.agent_from_world is not None:
+                from cld_tpu.ops.lanes import closest_lane_points
+
+                sidx = obs.scene_index if obs.scene_index is not None else pack.scene_index
+                lane_pts, lane_av = closest_lane_points(
+                    pack.lane_points[sidx],
+                    pack.lane_avail[sidx],
+                    w_from_a[:, :2, 2],
+                    jnp.arctan2(w_from_a[:, 1, 0], w_from_a[:, 0, 0]),
+                    obs.agent_from_world,
+                )
             ctx = GuidanceContext(
                 drivable_map=obs.drivable_map,
                 raster_from_agent=obs.raster_from_agent,
@@ -120,6 +135,8 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 curr_speed=obs.curr_speed,
                 world_from_agent=w_from_a,
                 scene_index=obs.scene_index if obs.scene_index is not None else pack.scene_index,
+                lane_points=lane_pts,
+                lane_avail=lane_av,
                 agent_from_world=obs.agent_from_world,
                 global_t=obs.sim_step,
                 agent_hist_world=hist_world,
@@ -177,6 +194,10 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
 def main():
     parser = argparse.ArgumentParser(description="cld_tpu closed-loop rollout")
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--registered-name", type=str, default=None,
+                        help="named experiment config (cld_tpu.utils.registry)"
+                             " — must match the config the checkpoints were "
+                             "trained with")
     parser.add_argument("--vae-ckpt", type=str, default=None)
     parser.add_argument("--dm-ckpt", type=str, default=None)
     parser.add_argument("--scene-data", type=str, default=None,
@@ -229,13 +250,24 @@ def main():
     parser.add_argument("--guidance-stride", type=int, default=1,
                         help="apply guidance every k-th denoise step")
     parser.add_argument("--perturb-th", type=float, default=1.0)
+    parser.add_argument("--ebm-ckpt", type=str, default=None,
+                        help="trained PermuteEBM checkpoint (train.py --mode "
+                             "ebm); adds the learned closed-loop realism "
+                             "metric (env_metrics.py:649-959) to the report")
     parser.add_argument("--output", type=str, default="rollout_out")
     parser.add_argument("--render", action="store_true",
                         help="save scene PNG + GIF renders")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
-    cfg = load_config(args.config) if args.config else default_config().lock()
+    if args.registered_name:
+        from cld_tpu.utils.registry import get_registered_experiment_config
+
+        cfg = get_registered_experiment_config(args.registered_name)
+        if args.config:
+            cfg = load_config(args.config, base=cfg.unlock())
+    else:
+        cfg = load_config(args.config) if args.config else default_config().lock()
     raster = args.raster_size or cfg.env.rasterizer.raster_size
     sim_cfg = SimConfig(
         num_simulation_steps=args.num_sim_steps,
@@ -325,6 +357,31 @@ def main():
                           pack.map_resolution)
     )
 
+    if args.ebm_ckpt:
+        # learned realism metric over the executed rollout
+        from cld_tpu.sim.learned_metrics import ebm_rollout_metric
+        from cld_tpu.training.checkpoints import restore_pytree
+        from cld_tpu.training.ebm import EBMTrainer
+
+        from cld_tpu.sim.env import init_sim_state, render_observation
+
+        ebm_trainer = EBMTrainer(cfg)
+        sample_obs = render_observation(pack, init_sim_state(pack, sim_cfg), sim_cfg)
+        state0 = ebm_trainer.init_state(jax.random.key(0), sample_obs)
+        like = {"params": state0.params, "batch_stats": state0.batch_stats}
+        restored = restore_pytree(args.ebm_ckpt, like=like)
+        state0 = state0.replace(params=restored["params"])
+        if restored.get("batch_stats") is not None:
+            state0 = state0.replace(batch_stats=restored["batch_stats"])
+        em = jax.jit(
+            lambda tr: ebm_rollout_metric(
+                pack, tr, ebm_trainer.score_fn(state0), sim_cfg,
+                horizon=cfg.algo.horizon,
+            )
+        )(traj)
+        metrics["ebm_score_mean"] = float(em["ebm_score_mean"])
+        metrics["ebm_score_min"] = float(em["ebm_score_min"])
+
     agent_steps_per_sec = pack.num_agents * sim_cfg.num_simulation_steps / steady
     metrics["wall_clock_s"] = steady
     metrics["agent_steps_per_sec"] = agent_steps_per_sec
@@ -352,6 +409,12 @@ def main():
             curr_speed=pack.init_states[:, 2],
             world_from_agent=_wfa(jnp.zeros((Na, 2)), jnp.zeros((Na,))),
             scene_index=pack.scene_index,
+            # executed trajectories are world-frame, so world lane points
+            # are already in the "agent" frame of this context
+            lane_points=(pack.lane_points[pack.scene_index]
+                         if pack.lane_points is not None else None),
+            lane_avail=(pack.lane_avail[pack.scene_index]
+                        if pack.lane_avail is not None else None),
         )
         gm = guidance_metrics(specs, executed, exec_ctx)
         metrics["guidance_satisfaction"] = {

@@ -43,6 +43,57 @@ def test_realism_deviation_keys():
     assert out["realism_deviation"] > 0
 
 
+def test_batch_neg_multi_log_likelihood_matches_reference_math():
+    """jnp NLL == the reference's numpy log-sum-exp formulation
+    (metrics.py:66-110), re-derived independently here."""
+    from cld_tpu.ops.metrics import batch_neg_multi_log_likelihood
+
+    rng = np.random.default_rng(0)
+    B, M, T = 3, 4, 6
+    gt = rng.normal(size=(B, T, 2)).astype(np.float32)
+    pred = rng.normal(size=(B, M, T, 2)).astype(np.float32)
+    conf = rng.dirichlet(np.ones(M), size=B).astype(np.float32)
+    avails = (rng.random((B, T)) > 0.2).astype(np.float32)
+
+    # golden: straight numpy port of the l5kit formulation
+    err = np.sum(((gt[:, None] - pred) * avails[:, None, :, None]) ** 2, axis=-1)
+    e = np.log(conf) - 0.5 * np.sum(err, axis=-1)
+    mx = e.max(-1, keepdims=True)
+    golden = -(np.log(np.exp(e - mx).sum(-1)) + mx[..., 0])
+
+    ours = np.asarray(batch_neg_multi_log_likelihood(gt, pred, conf, avails))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_gmm_loglikelihood_modes():
+    """gmm_loglikelihood (metrics.py:549-582): single-component recovery +
+    mode aggregation semantics."""
+    from cld_tpu.ops.metrics import gmm_loglikelihood
+
+    rng = np.random.default_rng(1)
+    B, M, D = 4, 1, 3
+    x = rng.normal(size=(B, D)).astype(np.float32)
+    m = rng.normal(size=(B, M, D)).astype(np.float32)
+    v = np.full((B, M, D), 0.5, np.float32)
+    pi = np.ones((B, M), np.float32)
+
+    # single diagonal Gaussian log density, computed directly
+    golden = np.sum(
+        -0.5 * (np.log(2 * np.pi * v[:, 0]) + (x - m[:, 0]) ** 2 / v[:, 0]), axis=-1
+    )
+    for mode in ("sum", "mean", "max"):
+        np.testing.assert_allclose(
+            np.asarray(gmm_loglikelihood(x, m, v, pi, mode=mode)), golden, rtol=1e-5
+        )
+
+    # v=None -> unit variance; two identical modes with pi summing to 1
+    m2 = np.repeat(m, 2, axis=1)
+    pi2 = np.full((B, 2), 0.5, np.float32)
+    out = np.asarray(gmm_loglikelihood(x, m2, None, pi2, mode="sum"))
+    golden_unit = np.sum(-0.5 * (np.log(2 * np.pi) + (x - m[:, 0]) ** 2), axis=-1)
+    np.testing.assert_allclose(out, golden_unit, rtol=1e-5)
+
+
 def test_reward_kernels():
     import jax.numpy as jnp
 
