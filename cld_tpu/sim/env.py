@@ -155,6 +155,14 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
     # ego history yaw in agent frame
     hist_yaw_agent = state.history[:, :, 3:4] - yaw[:, None, None]
 
+    # neighbor history in each agent's frame — consumed by the planner
+    # policies' constant-velocity predictors (policies/mpc.py) exactly as
+    # the reference's observation dict carries all_other_agents_history_*
+    neigh_yaw = (
+        jnp.broadcast_to(state.history[:, :, 3][None], (Na, Na, Th))
+        - yaw[:, None, None]
+    )
+
     return TrafficBatch(
         image=image,
         drivable_map=sem[..., 0],
@@ -169,6 +177,9 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         extent=pack.extent,
         all_other_agents_future_positions=jnp.zeros((Na, 1, 52, 2)),
         all_other_agents_future_availability=jnp.zeros((Na, 1, 52)),
+        all_other_agents_history_positions=neigh_hist,
+        all_other_agents_history_yaws=neigh_yaw[..., None],
+        all_other_agents_history_availability=neigh_avail,
         world_from_agent=w_from_a,
         agent_from_world=a_from_w,
         scene_index=pack.scene_index,

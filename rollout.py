@@ -213,11 +213,14 @@ def main():
     parser.add_argument("--raster-size", type=int, default=None)
     parser.add_argument("--num-action-samples", type=int, default=1)
     parser.add_argument("--policy", type=str, default="dm",
-                        choices=["dm", "lattice", "gt_replay"],
+                        choices=["dm", "lattice", "gt_replay", "mpc", "contingency"],
                         help="dm: guided diffusion; lattice: kinematic "
-                             "planner; gt_replay: replay-actions baseline")
+                             "planner; gt_replay: replay-actions baseline; "
+                             "mpc: FTOCP penalty solver (ftocp.py:6); "
+                             "contingency: tree contingency planner "
+                             "(planning_utils.py:259)")
     parser.add_argument("--agents-policy", type=str, default=None,
-                        choices=[None, "dm", "lattice", "gt_replay"],
+                        choices=[None, "dm", "lattice", "gt_replay", "mpc", "contingency"],
                         help="separate policy for non-ego agents (the "
                              "EnvSplitUnifiedSimulation pattern, "
                              "env_trajdata.py:520): ego = first agent of "
@@ -311,6 +314,19 @@ def main():
             from cld_tpu.policies.hardcoded import replay_policy
 
             return replay_policy(pack.replay_actions)
+        if name == "mpc":
+            from cld_tpu.policies.mpc import MPCConfig, mpc_policy
+
+            return mpc_policy(MPCConfig(N=max(20, args.n_step_action), dt=sim_cfg.dt))
+        if name == "contingency":
+            from cld_tpu.policies.contingency import (
+                ContingencyConfig,
+                contingency_policy,
+            )
+
+            return contingency_policy(
+                ContingencyConfig(dt=sim_cfg.dt, dyn=sim_cfg.dyn)
+            )
         return make_dm_policy(cfg, args, pack, sim_cfg, specs)
 
     policy = build_policy(args.policy)
