@@ -54,6 +54,58 @@ def _cld_ppo():
     return cfg
 
 
+def _zoo_config(algo_name: str, **algo_overrides):
+    """Shared builder for the baseline-algo entries
+    (`registry.py:92-366`): train.mode=zoo + the factory algo name."""
+    cfg = default_config()
+    cfg.train.mode = "zoo"
+    cfg.algo.name = algo_name
+    for k, v in algo_overrides.items():
+        setattr(cfg.algo, k, v)
+    return cfg
+
+
+# nuScenes baseline families (`registry.py:190-267` nusc_* entries and their
+# `trajdata_nusc_*` aliases, `:296-336`). The l5 / eupeds / orca / nuplan
+# dataset variants are out of scope with the l5kit/zarr backend (PARITY §2c);
+# the algo axis is fully covered.
+for _name, _algo in [
+    ("nusc_bc", "bc"),
+    ("nusc_bc_gc", "bc"),  # goal-conditioned BC trains the same BC decoder
+    ("nusc_vae", "vae"),
+    ("nusc_discrete_vae", "discrete_vae"),
+    ("nusc_transformer", "TransformerPred"),
+    ("nusc_diff", "diff"),
+    ("trajdata_nusc_bc", "bc"),
+    ("trajdata_nusc_vae", "vae"),
+    ("trajdata_nusc_diff", "diff"),
+    ("trajdata_nusc_strive", "vae"),  # STRIVE optimizes a trained VAE's latents
+]:
+    EXP_CONFIG_REGISTRY[_name] = (lambda a=_algo: _zoo_config(a))
+
+
+@register_experiment("nusc_gan")
+def _nusc_gan():
+    cfg = default_config()
+    cfg.train.mode = "gan"
+    return cfg
+
+
+@register_experiment("nusc_ebm")
+def _nusc_ebm():
+    cfg = default_config()
+    cfg.train.mode = "ebm"
+    return cfg
+
+
+@register_experiment("trajdata_nusc_scene_diff")
+def _nusc_scene_diff():
+    """CTG++ scene diffusion (`registry.py:430-436`)."""
+    cfg = default_config()
+    cfg.train.mode = "scene_dm"
+    return cfg
+
+
 @register_experiment("cld_smoke")
 def _cld_smoke():
     """Tiny everything — CI / laptop smoke runs."""

@@ -219,6 +219,11 @@ def main():
                              "mpc: FTOCP penalty solver (ftocp.py:6); "
                              "contingency: tree contingency planner "
                              "(planning_utils.py:259)")
+    parser.add_argument("--composer", type=str, default=None,
+                        help="named policy composer (cld_tpu.eval.composers, "
+                             "the policy_composers.py registry); overrides "
+                             "--policy. Checkpoint via --composer-ckpt")
+    parser.add_argument("--composer-ckpt", type=str, default=None)
     parser.add_argument("--agents-policy", type=str, default=None,
                         choices=[None, "dm", "lattice", "gt_replay", "mpc", "contingency"],
                         help="separate policy for non-ego agents (the "
@@ -300,6 +305,14 @@ def main():
     specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
 
     def build_policy(name):
+        if args.composer:
+            from cld_tpu.eval.composers import get_composer
+
+            return get_composer(args.composer)(
+                cfg, pack, sim_cfg,
+                ckpts={"policy": args.composer_ckpt},
+                rng=jax.random.key(args.seed),
+            )
         if name == "lattice":
             from cld_tpu.policies.planner import (
                 LatticePlannerConfig,

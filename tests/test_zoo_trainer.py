@@ -1,0 +1,114 @@
+"""Algo factory + generic zoo trainer + legacy loss kernels
+(VERDICT partials #33/#46; ref factory.py:31-90, loss_utils.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cld_tpu.data.synthetic import synthetic_batch
+from cld_tpu.training.zoo import ALGO_FACTORY, ZooTrainer, algo_factory
+from cld_tpu.utils.registry import get_registered_experiment_config
+
+
+def test_factory_names():
+    for name in ["bc", "vae", "discrete_vae", "TransformerPred", "diff"]:
+        assert name in ALGO_FACTORY
+    with pytest.raises(KeyError):
+        algo_factory(get_registered_experiment_config("cld_smoke"), "nope")
+
+
+@pytest.mark.parametrize("name", ["bc", "vae", "discrete_vae", "TransformerPred", "diff"])
+def test_zoo_trainer_improves(name):
+    cfg = get_registered_experiment_config("cld_smoke")
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    trainer = ZooTrainer(cfg, name)
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, m0 = trainer.train_step(state, batch, jax.random.key(1))
+    for _ in range(8):
+        state, m = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    if name != "diff":  # the denoising loss target is stochastic per step
+        assert float(m["loss"]) < float(m0["loss"])
+    ev = trainer.eval_step(state, batch)
+    assert np.isfinite(float(ev["loss"]))
+
+
+def test_registry_breadth():
+    from cld_tpu.utils.registry import EXP_CONFIG_REGISTRY
+
+    for name in [
+        "nusc_bc", "nusc_vae", "nusc_discrete_vae", "nusc_transformer",
+        "nusc_diff", "nusc_gan", "nusc_ebm", "trajdata_nusc_bc",
+        "trajdata_nusc_strive", "trajdata_nusc_scene_diff",
+    ]:
+        cfg = get_registered_experiment_config(name)
+        assert cfg.train.mode in {"zoo", "gan", "ebm", "scene_dm"}
+    assert len(EXP_CONFIG_REGISTRY) >= 15
+
+
+def test_legacy_losses():
+    from cld_tpu.ops import losses as L
+
+    rng = np.random.default_rng(0)
+    B, M, T, D = 4, 3, 6, 2
+
+    # KLD(0,1) of a standard normal's parameters is 0
+    assert float(L.kld_0_1_loss(jnp.zeros((B, 8)), jnp.zeros((B, 8)))) == pytest.approx(0.0)
+    # KL(N || N) = 0
+    mu = jnp.asarray(rng.normal(size=(B, 8)).astype(np.float32))
+    lv = jnp.asarray(rng.normal(size=(B, 8)).astype(np.float32))
+    assert float(L.kld_gaussian_loss(mu, lv, mu, lv)) == pytest.approx(0.0, abs=1e-6)
+    # discrete KL(p || p) = 0
+    logits = jnp.asarray(rng.normal(size=(B, 5)).astype(np.float32))
+    logp = jax.nn.log_softmax(logits)
+    assert float(L.kld_discrete(logp, logp)) == pytest.approx(0.0, abs=1e-6)
+
+    # cosine loss: aligned -> 0, opposite -> 2
+    v = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    assert float(L.cosine_loss(v, v)) == pytest.approx(0.0, abs=1e-6)
+    assert float(L.cosine_loss(v, -v)) == pytest.approx(2.0, abs=1e-6)
+
+    # uniform mixture of identical components == single Gaussian log prob
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    m = jnp.repeat(x[:, None], M, axis=1)
+    vv = jnp.ones((B, M, D))
+    lp_mix = np.asarray(L.log_normal_mixture(x, m, vv))
+    lp_one = np.asarray(L.log_normal(x, x, jnp.ones((B, D))))
+    np.testing.assert_allclose(lp_mix, lp_one, rtol=1e-5)
+
+    # NLL GMM: detach and non-detach agree in value
+    pi = jnp.full((B, M), 1.0 / M)
+    a = float(L.nll_gmm_loss(x, m, vv, pi, detach=True))
+    b = float(L.nll_gmm_loss(x, m, vv, pi, detach=False))
+    assert a == pytest.approx(b, rel=1e-5)
+
+    # trajectory losses respect availability masks
+    pred = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    avail = jnp.ones((B, T)).at[:, -2:].set(0.0)
+    full = L.trajectory_loss(pred, tgt, jnp.ones((B, T)))
+    masked = L.trajectory_loss(pred, jnp.where(avail[..., None] > 0, tgt, 1e3), avail)
+    assert np.isfinite(float(masked)) and float(masked) != float(full)
+
+    # goal loss reads the LAST AVAILABLE step
+    g = L.goal_reaching_loss(pred, pred.at[:, 3].set(99.0), avail)
+    g_exact = L.goal_reaching_loss(pred, pred, avail)
+    assert float(g_exact) == pytest.approx(0.0, abs=1e-8)
+    assert float(g) > 0  # t=3 is the last available step (avail kills 4,5)
+
+    # multimodal: best mode gets picked
+    preds = jnp.stack([tgt, tgt + 5.0, tgt - 5.0], axis=1)
+    prob = jnp.full((B, M), 1.0 / M)
+    mm = L.multimodal_trajectory_loss(preds, tgt, jnp.ones((B, T)), prob)
+    assert float(mm) == pytest.approx(-np.log(1 / 3), rel=1e-4)  # reg=0 + CE
+
+    # collision loss: far apart ~ 0, overlapping ~ 1
+    ego = jnp.zeros((B, T, 2))
+    far = jnp.full((B, 1, T, 2), 100.0)
+    near = jnp.zeros((B, 1, T, 2))
+    ext = jnp.broadcast_to(jnp.array([4.5, 2.0]), (B, 2))
+    next_ = jnp.broadcast_to(jnp.array([4.5, 2.0]), (B, 1, 2))
+    av1 = jnp.ones((B, 1, T))
+    assert float(L.collision_loss(ego, far, ext, next_, av1)) < 1e-4
+    assert float(L.collision_loss(ego, near, ext, next_, av1)) > 0.9

@@ -227,6 +227,79 @@ def train_scene_dm(cfg, args):
     print(f"scene_dm done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
 
 
+def train_zoo(cfg, args, algo_name=None):
+    """Generic baseline-algo training via the algo factory
+    (`factory.py:31-90`, `algos.py` BC/VAE/DiscreteVAE/Transformer algos)."""
+    from cld_tpu.training.zoo import ZooTrainer
+
+    name = algo_name or args.zoo_algo or cfg.algo.get("name", "bc")
+    out_dir = os.path.join(args.output, f"zoo_{name}")
+    logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
+    mesh = _mesh_and_shard(cfg)
+    loader = make_loader(cfg, "train")
+    it = iter(loader)
+    first = shard_batch(next(it), mesh)
+    trainer = ZooTrainer(cfg, name)
+    state = replicate(trainer.init_state(jax.random.key(cfg.seed + 9), first), mesh)
+    start_step = 0
+    if args.resume:
+        state, start_step = restore_train_state(args.resume, state)
+        print(f"resumed full train state from {args.resume} at step {start_step}")
+        for _ in range(start_step):
+            next(it)
+    rng = jax.random.key(cfg.seed + 10)
+    num_steps = args.steps or cfg.train.training.num_steps
+    t0 = time.time()
+    for step in range(start_step, num_steps):
+        batch = shard_batch(next(it), mesh)
+        state, metrics = trainer.train_step(state, batch, rng)
+        logger.log(step, metrics)
+        if cfg.train.save.enabled and (step + 1) % cfg.train.save.every_n_steps == 0:
+            save_pytree(
+                os.path.join(out_dir, f"ckpt_{step + 1}"),
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            save_train_state(os.path.join(out_dir, f"ckpt_{step + 1}_full"), state, loop_step=step + 1)
+    save_pytree(
+        os.path.join(out_dir, "ckpt_final"),
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    save_train_state(os.path.join(out_dir, "ckpt_final_full"), state, loop_step=num_steps)
+    print(f"zoo[{name}] done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
+
+
+def train_gan(cfg, args):
+    """GAN traffic-model stage (`factory.py:70-71` GANTrafficModel) —
+    alternating LSGAN updates (cld_tpu.training.gan)."""
+    from cld_tpu.training.gan import GANTrainer
+
+    out_dir = os.path.join(args.output, "gan")
+    logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
+    mesh = _mesh_and_shard(cfg)
+    loader = make_loader(cfg, "train")
+    it = iter(loader)
+    first = shard_batch(next(it), mesh)
+    trainer = GANTrainer(cfg)
+    state = replicate(trainer.init_state(jax.random.key(cfg.seed + 11), first), mesh)
+    rng = jax.random.key(cfg.seed + 12)
+    num_steps = args.steps or cfg.train.training.num_steps
+    t0 = time.time()
+    for step in range(num_steps):
+        batch = shard_batch(next(it), mesh)
+        state, metrics = trainer.train_step(state, batch, rng)
+        logger.log(step, metrics)
+        if cfg.train.save.enabled and (step + 1) % cfg.train.save.every_n_steps == 0:
+            save_pytree(
+                os.path.join(out_dir, f"ckpt_{step + 1}"),
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+    save_pytree(
+        os.path.join(out_dir, "ckpt_final"),
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    print(f"gan done: {num_steps} steps in {time.time() - t0:.1f}s -> {out_dir}")
+
+
 def train_ebm(cfg, args):
     """Learned-metric (PermuteEBM InfoNCE) stage — produces the checkpoint
     consumed by rollout.py --ebm-ckpt for the learned closed-loop realism
@@ -307,7 +380,11 @@ def main():
     parser.add_argument("--registered-name", type=str, default=None,
                         help="named experiment config (cld_tpu.utils.registry)")
     parser.add_argument("--mode", type=str, default=None,
-                        choices=["vae", "dm", "ppo", "test", "scene_dm", "ebm"])
+                        choices=["vae", "dm", "ppo", "test", "scene_dm", "ebm", "zoo", "gan"])
+    parser.add_argument("--zoo-algo", type=str, default=None,
+                        help="factory algo for --mode zoo "
+                             "(bc|vae|discrete_vae|TransformerPred; "
+                             "factory.py:31-90)")
     parser.add_argument("--output", type=str, default="runs")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--vae-ckpt", type=str, default=None)
@@ -339,6 +416,10 @@ def main():
         train_scene_dm(cfg, args)
     elif mode == "ebm":
         train_ebm(cfg, args)
+    elif mode == "zoo":
+        train_zoo(cfg, args)
+    elif mode == "gan":
+        train_gan(cfg, args)
     elif mode == "test":
         evaluate(cfg, args)
 
