@@ -49,6 +49,10 @@ AGENTS_PER_SCENE = 4  # guidance sees scenes of 4 interacting agents
 NUM_SAMP = 1
 N_STEPS = 100
 SKIP_CLOSED_LOOP = os.environ.get("BENCH_SKIP_CLOSED_LOOP", "0") == "1"
+# scan unrolling for the 100-step sampler: >1 trades compile time for
+# steady-state throughput (per-step loop overhead amortized, cross-step
+# fusion). Compile on the axon tunnel grows with the unrolled body.
+UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
 CL_SCENES = int(os.environ.get("BENCH_CL_SCENES", 4))
 CL_AGENTS = int(os.environ.get("BENCH_CL_AGENTS", 8))  # per scene
 CL_STEPS = int(os.environ.get("BENCH_CL_STEPS", 100))
@@ -149,7 +153,7 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch):
         out = sample_traj(
             dm_trainer.denoise_fn(dm_state_params), dm_trainer.schedule, samp_rng,
             aux["cond_feat"], cfg.algo.horizon, cfg.algo.vae.latent_size,
-            num_samp=NUM_SAMP, guidance_fn=gfn,
+            num_samp=NUM_SAMP, guidance_fn=gfn, unroll=UNROLL,
         )
         traj = decode_fn(out["pred_traj"])
         return compute_reward(traj, batch, normalizer.scale(traj)).mean()

@@ -59,6 +59,7 @@ def sample_traj(
     guidance_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
     guidance_stride: int = 1,
     guidance_clean: bool = False,
+    unroll: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Full ancestral sampling as one lax.scan (`dm_model.py:103-142`).
 
@@ -128,7 +129,10 @@ def sample_traj(
         return (x_next, x1, logp), None
 
     init = (x_init, jnp.zeros_like(x_init), jnp.zeros((BN,), jnp.float32))
-    (x0, x1, logp), _ = jax.lax.scan(body, init, (steps, step_rngs))
+    # unroll > 1 amortizes per-iteration loop overhead and lets XLA fuse
+    # across denoise steps — worthwhile on TPU where each step is small;
+    # costs proportionally more compile time (keep 1 on slow-compile links)
+    (x0, x1, logp), _ = jax.lax.scan(body, init, (steps, step_rngs), unroll=unroll)
 
     return {"pred_traj": x0, "x1": x1, "log_prob_final": logp, "cond_feat": cond}
 

@@ -39,9 +39,15 @@ class ContextEncoder(nn.Module):
             name="agent_state_encoder",
         )(curr_states)
 
+        # arch suffix selects the pooling head: "<resnet>_spatial_softmax"
+        # uses keypoint pooling (base_models.py RasterizedMapEncoder option)
+        arch, pool = self.map_arch, "avg"
+        if arch.endswith("_spatial_softmax"):
+            arch, pool = arch[: -len("_spatial_softmax")], "spatial_softmax"
         map_global_feat = ResNetEncoder(
-            arch=self.map_arch,
+            arch=arch,
             feature_dim=self.map_feature_dim,
+            pool=pool,
             dtype=self.dtype,
             name="map_encoder",
         )(batch.image, train=train)

@@ -103,6 +103,10 @@ class ResNetEncoder(nn.Module):
 
     arch: str = "resnet18"
     feature_dim: int = 256
+    # pooling head: "avg" (torchvision fc path) or "spatial_softmax"
+    # (RasterizedMapEncoder's keypoint pooling option, base_models.py:418-480)
+    pool: str = "avg"
+    num_kp: int = 32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -122,6 +126,12 @@ class ResNetEncoder(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train=train)
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to [B, C]
+        if self.pool == "spatial_softmax":
+            from cld_tpu.models.spatial_softmax import SpatialSoftmax
+
+            x = SpatialSoftmax(num_kp=self.num_kp, dtype=self.dtype,
+                               name="spatial_softmax")(x)  # [B, 2*K]
+        else:
+            x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to [B, C]
         x = nn.Dense(self.feature_dim, dtype=self.dtype, name="fc")(x)
         return x

@@ -27,3 +27,18 @@ def test_num_kp_projection_and_learnable_temp():
     out = m.apply(params, x)
     assert out.shape == (2, 6)  # 3 keypoints x 2
     assert "log_temperature" in params["params"]
+
+
+def test_context_encoder_spatial_softmax_arch():
+    """map_arch '<resnet>_spatial_softmax' selects keypoint pooling in the
+    ContextEncoder (the RasterizedMapEncoder pooling option, wired through
+    config.algo.map_encoder_model_arch)."""
+    from cld_tpu.data.synthetic import synthetic_batch
+    from cld_tpu.models.context import ContextEncoder
+
+    batch = synthetic_batch(seed=0, batch_size=2, raster_size=64)
+    enc = ContextEncoder(cond_feat_dim=32, map_feature_dim=32,
+                         map_arch="resnet18_spatial_softmax")
+    out, variables = enc.init_with_output({"params": jax.random.key(0)}, batch)
+    assert out["cond_feat"].shape == (2, 32)
+    assert "spatial_softmax" in variables["params"]["map_encoder"]
