@@ -54,9 +54,15 @@ class SyntheticLoader:
         return [next(it) for _ in range(n)]
 
 
-def make_loader(config, split: str = "train"):
+def make_loader(config, split: str = "train", mesh=None):
     """Loader factory from config (synthetic unless data_path points at
-    packed shards)."""
+    packed shards).
+
+    Under multi-host SPMD (`jax.process_count() > 1`) packed data is served
+    by the multi-host pipeline: each host reads a disjoint slice and yields
+    GLOBAL sharded arrays (requires `mesh`). Single-process keeps the plain
+    host-local loaders — `shard_batch` places them on the mesh.
+    """
     data_path = config.train.get("data_path")
     batch_size = (
         config.train.training.batch_size
@@ -69,6 +75,15 @@ def make_loader(config, split: str = "train"):
             raster_size=config.env.rasterizer.raster_size,
             hist_frames=config.algo.history_num_frames,
             horizon=config.algo.future_num_frames,
+            seed=0 if split == "train" else 10_000,
+        )
+    import jax
+
+    if mesh is not None and jax.process_count() > 1:
+        from cld_tpu.data.multihost import MultiHostPackedLoader
+
+        return MultiHostPackedLoader(
+            data_path, mesh, split=split, global_batch_size=batch_size,
             seed=0 if split == "train" else 10_000,
         )
     from cld_tpu.data.packed import PackedShardLoader

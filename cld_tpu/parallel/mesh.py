@@ -41,9 +41,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
     """Place every leaf of a batch pytree with its leading dim sharded over
-    the mesh. Leading dims must divide the mesh size."""
+    the mesh. Leading dims must divide the mesh size.
+
+    Leaves already carrying the target sharding (e.g. global arrays from
+    the multi-host loader) pass through untouched — device_put on a
+    non-addressable global array would be an error under multi-process."""
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def place(x):
+        if isinstance(x, jax.Array) and x.sharding == sharding:
+            return x
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):

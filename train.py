@@ -75,7 +75,7 @@ def train_vae(cfg, args):
     out_dir = os.path.join(args.output, "vae")
     logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
     mesh = _mesh_and_shard(cfg)
-    loader = make_loader(cfg, "train")
+    loader = make_loader(cfg, "train", mesh=mesh)
     trainer = VAETrainer(cfg)
     it = iter(loader)
     first = shard_batch(next(it), mesh)
@@ -127,7 +127,7 @@ def train_dm(cfg, args):
     out_dir = os.path.join(args.output, "dm")
     logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
     mesh = _mesh_and_shard(cfg)
-    loader = make_loader(cfg, "train")
+    loader = make_loader(cfg, "train", mesh=mesh)
     it = iter(loader)
     first = shard_batch(next(it), mesh)
     dm_trainer, dm_state = _build_dm(cfg, args, first)
@@ -157,7 +157,7 @@ def train_ppo(cfg, args):
     out_dir = os.path.join(args.output, "ppo")
     logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
     mesh = _mesh_and_shard(cfg)
-    loader = make_loader(cfg, "train")
+    loader = make_loader(cfg, "train", mesh=mesh)
     it = iter(loader)
     first = shard_batch(next(it), mesh)
     dm_trainer, dm_state = _build_dm(cfg, args, first)
@@ -236,7 +236,7 @@ def train_zoo(cfg, args, algo_name=None):
     out_dir = os.path.join(args.output, f"zoo_{name}")
     logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
     mesh = _mesh_and_shard(cfg)
-    loader = make_loader(cfg, "train")
+    loader = make_loader(cfg, "train", mesh=mesh)
     it = iter(loader)
     first = shard_batch(next(it), mesh)
     trainer = ZooTrainer(cfg, name)
@@ -276,7 +276,7 @@ def train_gan(cfg, args):
     out_dir = os.path.join(args.output, "gan")
     logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
     mesh = _mesh_and_shard(cfg)
-    loader = make_loader(cfg, "train")
+    loader = make_loader(cfg, "train", mesh=mesh)
     it = iter(loader)
     first = shard_batch(next(it), mesh)
     trainer = GANTrainer(cfg)
@@ -309,7 +309,7 @@ def train_ebm(cfg, args):
     out_dir = os.path.join(args.output, "ebm")
     logger = MetricLogger(out_dir, cfg.train.logging.log_every_n_steps)
     mesh = _mesh_and_shard(cfg)
-    loader = make_loader(cfg, "train")
+    loader = make_loader(cfg, "train", mesh=mesh)
     it = iter(loader)
     first = shard_batch(next(it), mesh)
     trainer = EBMTrainer(cfg)
@@ -345,7 +345,7 @@ def evaluate(cfg, args):
     """Open-loop test: failure rates + Wasserstein realism
     (`guide_dm_trainer.py:204-295`)."""
     mesh = _mesh_and_shard(cfg)
-    loader = make_loader(cfg, "val")
+    loader = make_loader(cfg, "val", mesh=mesh)
     it = iter(loader)
     first = shard_batch(next(it), mesh)
     dm_trainer, dm_state = _build_dm(cfg, args, first)
