@@ -93,13 +93,20 @@ def build_flagship(cfg, compute_dtype, batch):
     return dm_trainer, dm_state
 
 
-def flagship_guidance_specs():
-    """The scene_edit_config.py:130-170 flagship editing rules."""
+def flagship_guidance_specs(scene_block=None):
+    """The scene_edit_config.py:130-170 flagship editing rules.
+
+    scene_block: agents per scene when the batch is contiguous equal-size
+    scenes — lets AgentCollisionLoss run block-diagonal pairwise distances
+    ([S, A, A] instead of [B, B], identical numerics)."""
     from cld_tpu.guidance.losses import AgentCollisionLoss, MapCollisionLoss
     from cld_tpu.guidance.perturbation import GuidanceSpec
 
     return [
-        GuidanceSpec(AgentCollisionLoss(num_disks=5, buffer_dist=0.2), 10.0),
+        GuidanceSpec(
+            AgentCollisionLoss(num_disks=5, buffer_dist=0.2, scene_block=scene_block),
+            10.0,
+        ),
         GuidanceSpec(MapCollisionLoss(num_points_lw=(10, 10)), 10.0),
     ]
 
@@ -154,7 +161,7 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch):
             scene_index=scene_index,
         )
         gfn = make_perturbation_guidance(
-            ctx, flagship_guidance_specs(), decode_fn,
+            ctx, flagship_guidance_specs(AGENTS_PER_SCENE), decode_fn,
             lr=0.3, grad_steps=1, perturb_th=1.0,
         )
         out = sample_traj(
@@ -208,7 +215,7 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
         seed=0, num_scenes=CL_SCENES, agents_per_scene=CL_AGENTS,
         sim_steps=CL_STEPS,
     )
-    specs = flagship_guidance_specs()
+    specs = flagship_guidance_specs(CL_AGENTS)
     Na = pack.num_agents
 
     def policy(obs, rng):

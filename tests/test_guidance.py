@@ -356,3 +356,52 @@ def test_agent_collision_scan_matches_dense_reference():
     want = np.asarray(jnp.where(moving[:, None], jnp.mean(per_agent, axis=-1).transpose(1, 0), 0.0))
 
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_agent_collision_scene_block_matches_flat():
+    """The block-diagonal fast path (scene_block=A) is numerically identical
+    to the flat [B, B] path — values AND gradients."""
+    B, A = 8, 4
+    scene_index = np.repeat(np.arange(B // A, dtype=np.int32), A)
+    ctx = make_ctx(B=B, scene_index=scene_index)
+    rng = np.random.default_rng(0)
+    # overlapping cluster per scene so collisions actually fire
+    x = straight_traj(B=B, N=2, speed=5.0)
+    x = x + jnp.asarray(rng.normal(0, 0.8, x.shape), jnp.float32)
+
+    flat = AgentCollisionLoss()
+    blk = AgentCollisionLoss(scene_block=A)
+    np.testing.assert_allclose(
+        np.asarray(flat(x, ctx)), np.asarray(blk(x, ctx)), rtol=1e-5, atol=1e-6
+    )
+    g_flat = jax.grad(lambda v: flat(v, ctx).sum())(x)
+    g_blk = jax.grad(lambda v: blk(v, ctx).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_blk), rtol=1e-4, atol=1e-6)
+
+
+def test_map_collision_custom_vjp_matches_bruteforce():
+    """The O(P) custom backward of _min_dist_to_onroad routes each column's
+    cotangent through its argmin row — gradients must equal the naive
+    differentiate-through-the-P^2-matrix form."""
+    from cld_tpu.guidance.losses import _min_dist_to_onroad
+
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.normal(0, 2.0, (3, 7, 2)), jnp.float32)
+    onroad = jnp.asarray(rng.random((3, 7)) > 0.4)
+    onroad = onroad.at[0, :].set(True)  # one fully on-road row block
+
+    def naive(p):
+        det = jax.lax.stop_gradient(p)
+        d2 = jnp.sum((p[..., :, None, :] - det[..., None, :, :]) ** 2, -1)
+        d2 = jnp.where(onroad[..., :, None], d2, 1e12)
+        return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12)
+
+    np.testing.assert_allclose(
+        np.asarray(_min_dist_to_onroad(pts, onroad)), np.asarray(naive(pts)),
+        rtol=1e-6)
+    # weight columns arbitrarily so cotangents differ per column
+    w = jnp.asarray(rng.normal(0, 1, (3, 7)), jnp.float32)
+    g_fast = jax.grad(lambda p: jnp.sum(_min_dist_to_onroad(p, onroad) * w))(pts)
+    g_naive = jax.grad(lambda p: jnp.sum(naive(p) * w))(pts)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_naive),
+                               rtol=1e-4, atol=1e-6)
