@@ -86,6 +86,64 @@ def offroad_count_pallas(
 
 
 # ---------------------------------------------------------------------------
+# drivable-map point lookup: [B, Q] values of map[b, row, col]
+# ---------------------------------------------------------------------------
+_GATHER_TILE = 512
+
+
+def drivable_gather_ref(pix: jnp.ndarray, drivable: jnp.ndarray) -> jnp.ndarray:
+    """pix [B, Q, 2] int32 (col, row), pre-clamped; drivable [B, H, W]
+    -> [B, Q] map values (the MapCollisionLoss off-road lookup)."""
+    b = jnp.arange(pix.shape[0])[:, None]
+    return drivable[b, pix[..., 1], pix[..., 0]]
+
+
+def _drivable_gather_kernel(pix_ref, map_ref, out_ref):
+    m = map_ref[0]  # [H, W]
+    H, W = m.shape
+    p = pix_ref[0, 0]  # [TILE, 2]
+    rows = p[:, 1:2]
+    cols = p[:, 0:1]
+    # row-select as a one-hot matmul (MXU), column-select as a lane mask —
+    # TPU-native replacement for the irregular gather
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], H), 1) == rows
+    ).astype(jnp.float32)
+    g = jnp.dot(oh, m, preferred_element_type=jnp.float32)  # [TILE, W]
+    cm = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], W), 1) == cols
+    out_ref[0, 0] = jnp.sum(jnp.where(cm, g, 0.0), axis=1)
+
+
+def drivable_gather_pallas(
+    pix: jnp.ndarray, drivable: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Pallas version of drivable_gather_ref: grid (B, Q/TILE), each tile a
+    one-hot-matmul row select + masked column reduce, fully VMEM-resident."""
+    B, Q, _ = pix.shape
+    _, H, W = drivable.shape
+    pad = (-Q) % _GATHER_TILE
+    if pad:
+        pix = jnp.pad(pix, ((0, 0), (0, pad), (0, 0)))
+    nq = (Q + pad) // _GATHER_TILE
+    pixr = pix.reshape(B, nq, _GATHER_TILE, 2)
+    out = pl.pallas_call(
+        _drivable_gather_kernel,
+        grid=(B, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, _GATHER_TILE, 2), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _GATHER_TILE), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nq, _GATHER_TILE), jnp.float32),
+        interpret=interpret,
+    )(pixr, drivable.astype(jnp.float32))
+    return out.reshape(B, nq * _GATHER_TILE)[:, :Q]
+
+
+# ---------------------------------------------------------------------------
 # disk-collision penalty: pairwise min-disk distances + decayed penalty
 # ---------------------------------------------------------------------------
 def disk_collision_penalty_ref(

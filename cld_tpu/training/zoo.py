@@ -125,6 +125,88 @@ def _transformer(cfg):
     return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
 
 
+@register_algo("tree_vae")
+def _tree_vae(cfg):
+    """TreeVAETrafficModel (`algos.py:1309-1470`): staged trajectory-tree
+    CVAE for contingency prediction."""
+    from cld_tpu.models.tree_vae import TreeTrajectoryVAE
+
+    model = TreeTrajectoryVAE(
+        stages=cfg.algo.get("tree_stages", 2),
+        frames_per_stage=cfg.algo.get("tree_frames_per_stage", 10),
+        cond_feat_dim=cfg.algo.cond_feat_dim,
+        map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
+        dt=cfg.algo.step_time,
+    )
+
+    def loss_call(variables, batch, rng, train):
+        out, mut = _apply_with_stats(
+            model, variables, batch, train=train, rngs={"sample": rng}
+        )
+        return out["loss"], {"loss": out["loss"], "recon": out["recon"],
+                             "kld": out["kld"]}, mut
+
+    return {"model": model, "loss_call": loss_call, "init_rngs": ("params", "sample")}
+
+
+@register_algo("agent_predictor")
+def _agent_predictor(cfg):
+    """MATrafficModel (`multiagent_algos.py:23-200`): ego + neighbor future
+    prediction from one shared raster via ROI-aligned per-agent features."""
+    from cld_tpu.models.agent_predictor import MAAgentPredictor
+    from cld_tpu.ops.dynamics import UnicycleParams
+
+    model = MAAgentPredictor(
+        horizon=cfg.algo.horizon, dt=cfg.algo.step_time,
+        cond_feat_dim=cfg.algo.cond_feat_dim,
+        map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
+        dyn=UnicycleParams.from_config(cfg.algo.dynamics),
+    )
+
+    def loss_call(variables, batch, rng, train):
+        out, mut = _apply_with_stats(model, variables, batch, method="loss", train=train)
+        metrics = {k: v for k, v in out.items() if hasattr(v, "ndim") and v.ndim == 0}
+        return out["loss"], metrics, mut
+
+    return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
+
+
+@register_algo("spatial_planner")
+def _spatial_planner(cfg):
+    """SpatialPlanner (`algos.py:258-470`): dense goal-location prediction
+    over the raster via a skip-connected map UNet."""
+    from cld_tpu.models.spatial_planner import SpatialPlannerNet
+
+    model = SpatialPlannerNet(arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0])
+
+    def loss_call(variables, batch, rng, train):
+        out, mut = _apply_with_stats(model, variables, batch, train=train)
+        metrics = {k: v for k, v in out.items() if v.ndim == 0}
+        return out["loss"], metrics, mut
+
+    return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
+
+
+@register_algo("occupancy")
+def _occupancy(cfg):
+    """OccupancyMetric (`metric_algos.py:120-300`): per-future-frame
+    occupancy likelihood maps from the same UNet family."""
+    from cld_tpu.models.occupancy import OccupancyPredictor
+
+    model = OccupancyPredictor(
+        arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
+        future_num_frames=cfg.algo.future_num_frames,
+        every_n_frame=cfg.algo.get("occupancy_every_n_frame", 4),
+    )
+
+    def loss_call(variables, batch, rng, train):
+        out, mut = _apply_with_stats(model, variables, batch, train=train)
+        metrics = {k: v for k, v in out.items() if v.ndim == 0}
+        return out["loss"], metrics, mut
+
+    return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
+
+
 @register_algo("diff")
 def _diff(cfg):
     """DiffuserTrafficModel (CTG raw-action diffusion, `algos.py:1591+`,

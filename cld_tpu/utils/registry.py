@@ -80,6 +80,12 @@ for _name, _algo in [
     ("trajdata_nusc_vae", "vae"),
     ("trajdata_nusc_diff", "diff"),
     ("trajdata_nusc_strive", "vae"),  # STRIVE optimizes a trained VAE's latents
+    ("nusc_spatial_planner", "spatial_planner"),
+    ("trajdata_nusc_spatial_planner", "spatial_planner"),
+    ("nusc_occupancy", "occupancy"),
+    ("nusc_agent_predictor", "agent_predictor"),
+    ("trajdata_nusc_agent_predictor", "agent_predictor"),
+    ("nusc_tree_vae", "tree_vae"),
 ]:
     EXP_CONFIG_REGISTRY[_name] = (lambda a=_algo: _zoo_config(a))
 
