@@ -16,7 +16,7 @@ batched MLP, and the unicycle integration is the cumsum integrator.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -40,11 +40,20 @@ class MAAgentPredictor(nn.Module):
     agent_feature_dim: int = 64
     map_arch: str = "resnet18"
     hidden: int = 256
+    # Ego-conditioned prediction (`RasterizedECModel`, the bc_ec algo,
+    # `algos.py:791-860` / `BehaviorCloningECConfig`): neighbor futures
+    # additionally condition on the ego's planned trajectory, so the tree
+    # planner can query "what do agents do IF the ego does X".
+    ec_conditioning: bool = False
+    ec_feat_dim: int = 64
     dyn: UnicycleParams = UnicycleParams()
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, batch: TrafficBatch, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self, batch: TrafficBatch, train: bool = False,
+        cond_traj: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
         B = batch.image.shape[0]
         S = batch.all_other_agents_history_positions.shape[1]
         T = self.horizon
@@ -72,10 +81,18 @@ class MAAgentPredictor(nn.Module):
             self.dyn, get_current_states(batch), ego_act, self.dt
         )  # [B, T, 4]
 
-        neigh_in = jnp.concatenate(
-            [roi_feat, jnp.broadcast_to(ego_feat[:, None], (B, S, ego_feat.shape[-1]))],
-            axis=-1,
-        )
+        feats = [roi_feat, jnp.broadcast_to(ego_feat[:, None], (B, S, ego_feat.shape[-1]))]
+        if self.ec_conditioning:
+            from cld_tpu.models.cvae_nets import RNNTrajectoryEncoder
+
+            # condition on the ego plan: the provided cond_traj at query
+            # time, the ego's GT future in training (teacher forcing —
+            # `RasterizedECModel` does the same)
+            plan = cond_traj if cond_traj is not None else batch.target_positions
+            ec = RNNTrajectoryEncoder(self.ec_feat_dim, dtype=self.dtype,
+                                      name="ec_encoder")(plan)
+            feats.append(jnp.broadcast_to(ec[:, None], (B, S, ec.shape[-1])))
+        neigh_in = jnp.concatenate(feats, axis=-1)
         neigh_traj = MLP(
             T * 2, (self.hidden,), dtype=self.dtype, name="neigh_head"
         )(neigh_in).reshape(B, S, T, 2)

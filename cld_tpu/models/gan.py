@@ -26,11 +26,51 @@ from cld_tpu.ops.normalization import TrajNormalizer
 Dtype = Any
 
 
+class _TransformerGenerator(nn.Module):
+    """Per-timestep token transformer generator (the TransformerGAN
+    generator, `algos.py` TransformerGANTrafficModel via
+    `models/Transformer.py`): noise+condition seed each timestep token,
+    self-attention mixes the horizon, a linear head emits scaled actions."""
+
+    horizon: int
+    width: int = 64
+    layers: int = 2
+    heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, zc: jnp.ndarray) -> jnp.ndarray:
+        B = zc.shape[0]
+        seed = nn.Dense(self.width, dtype=self.dtype, name="seed")(zc)  # [B, W]
+        t = jnp.arange(self.horizon, dtype=jnp.float32)
+        freqs = jnp.exp(
+            -jnp.log(10000.0) * jnp.arange(self.width // 2) / (self.width // 2)
+        )
+        pos = jnp.concatenate(
+            [jnp.sin(t[:, None] * freqs[None]), jnp.cos(t[:, None] * freqs[None])],
+            axis=-1,
+        )  # [T, W]
+        h = seed[:, None] + pos[None].astype(self.dtype)  # [B, T, W]
+        for i in range(self.layers):
+            a = nn.LayerNorm(dtype=self.dtype, name=f"ln_a{i}")(h)
+            h = h + nn.SelfAttention(
+                num_heads=self.heads, dtype=self.dtype, name=f"attn{i}"
+            )(a)
+            m = nn.LayerNorm(dtype=self.dtype, name=f"ln_m{i}")(h)
+            m = nn.Dense(self.width * 4, dtype=self.dtype, name=f"ff0_{i}")(m)
+            h = h + nn.Dense(self.width, dtype=self.dtype, name=f"ff1_{i}")(nn.gelu(m))
+        out = nn.Dense(2, dtype=self.dtype, name="head")(h)  # [B, T, 2]
+        return out.reshape(B, self.horizon * 2)
+
+
 class TrajectoryGAN(nn.Module):
     horizon: int = 52
     noise_dim: int = 16
     cond_feat_dim: int = 256
     map_arch: str = "resnet18"
+    # "mlp" (rasterized GAN of record) or "transformer"
+    # (TransformerGANTrafficModel, `factory.py:68-69`)
+    generator_arch: str = "mlp"
     dyn: UnicycleParams = UnicycleParams(
         max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
     )
@@ -41,9 +81,15 @@ class TrajectoryGAN(nn.Module):
         self.context_encoder = ContextEncoder(
             cond_feat_dim=self.cond_feat_dim, map_arch=self.map_arch, dtype=self.dtype
         )
-        self.generator = MLP(
-            self.horizon * 2, layer_dims=(256, 256), normalization=True, dtype=self.dtype
-        )
+        if self.generator_arch == "transformer":
+            self.generator = _TransformerGenerator(
+                horizon=self.horizon, dtype=self.dtype
+            )
+        else:
+            self.generator = MLP(
+                self.horizon * 2, layer_dims=(256, 256), normalization=True,
+                dtype=self.dtype,
+            )
         self.discriminator = MLP(
             1, layer_dims=(256, 256), normalization=True, dtype=self.dtype
         )

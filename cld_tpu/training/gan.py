@@ -45,6 +45,7 @@ class GANTrainer:
             horizon=algo.horizon,
             cond_feat_dim=algo.cond_feat_dim,
             map_arch=algo.map_encoder_model_arch,
+            generator_arch=algo.get("gan_generator_arch", "mlp"),
         )
         lr = algo.optim_params.vae.learning_rate.initial
         self.g_opt = make_optimizer(lr)

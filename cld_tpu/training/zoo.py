@@ -171,6 +171,29 @@ def _agent_predictor(cfg):
     return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
 
 
+@register_algo("bc_ec")
+def _bc_ec(cfg):
+    """BehaviorCloningEC (`algos.py:791-860`): the agent predictor with
+    ego-conditioned neighbor heads (RasterizedECModel capability)."""
+    from cld_tpu.models.agent_predictor import MAAgentPredictor
+    from cld_tpu.ops.dynamics import UnicycleParams
+
+    model = MAAgentPredictor(
+        horizon=cfg.algo.horizon, dt=cfg.algo.step_time,
+        cond_feat_dim=cfg.algo.cond_feat_dim,
+        map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
+        dyn=UnicycleParams.from_config(cfg.algo.dynamics),
+        ec_conditioning=True,
+    )
+
+    def loss_call(variables, batch, rng, train):
+        out, mut = _apply_with_stats(model, variables, batch, method="loss", train=train)
+        metrics = {k: v for k, v in out.items() if hasattr(v, "ndim") and v.ndim == 0}
+        return out["loss"], metrics, mut
+
+    return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
+
+
 @register_algo("spatial_planner")
 def _spatial_planner(cfg):
     """SpatialPlanner (`algos.py:258-470`): dense goal-location prediction

@@ -86,6 +86,7 @@ for _name, _algo in [
     ("nusc_agent_predictor", "agent_predictor"),
     ("trajdata_nusc_agent_predictor", "agent_predictor"),
     ("nusc_tree_vae", "tree_vae"),
+    ("nusc_bc_ec", "bc_ec"),
 ]:
     EXP_CONFIG_REGISTRY[_name] = (lambda a=_algo: _zoo_config(a))
 
@@ -94,6 +95,16 @@ for _name, _algo in [
 def _nusc_gan():
     cfg = default_config()
     cfg.train.mode = "gan"
+    return cfg
+
+
+@register_experiment("nusc_transformer_gan")
+def _nusc_transformer_gan():
+    """TransformerGANTrafficModel (`factory.py:68-69`): GAN objective with
+    the per-timestep-token transformer generator."""
+    cfg = default_config()
+    cfg.train.mode = "gan"
+    cfg.algo.gan_generator_arch = "transformer"
     return cfg
 
 

@@ -72,3 +72,22 @@ def test_disk_collision_no_overlap_zero():
         )
     )
     np.testing.assert_allclose(got, 0.0)
+
+
+def test_drivable_gather_pallas_matches_ref():
+    """One-hot-matmul drivable gather == fancy-index reference, including
+    the Q-padding path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cld_tpu.ops.pallas_kernels import drivable_gather_pallas, drivable_gather_ref
+
+    rng = np.random.default_rng(3)
+    B, Q, H, W = 3, 777, 96, 96
+    drv = jnp.asarray(rng.random((B, H, W)), jnp.float32)
+    pix = jnp.asarray(
+        np.stack([rng.integers(0, W, (B, Q)), rng.integers(0, H, (B, Q))], -1),
+        jnp.int32,
+    )
+    ref = drivable_gather_ref(pix, drv)
+    out = drivable_gather_pallas(pix, drv, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

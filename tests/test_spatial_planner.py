@@ -136,3 +136,41 @@ def test_tree_vae_trains_and_samples():
     # segments chain: position is continuous across the stage boundary
     jump = jnp.linalg.norm(samples[..., 10, :2] - samples[..., 9, :2], axis=-1)
     assert float(jump.max()) < 5.0
+
+
+def test_bc_ec_trains_and_ec_conditions():
+    """bc_ec: neighbor heads condition on the ego plan; changing the plan
+    changes the neighbor predictions."""
+    from cld_tpu.training.zoo import ZooTrainer
+
+    cfg = small_cfg()
+    trainer = ZooTrainer(cfg, "bc_ec")
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, m = trainer.train_step(state, batch, jax.random.key(1))
+    assert jnp.isfinite(m["loss"])
+
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    plan_a = batch.target_positions
+    plan_b = plan_a + 5.0
+    out_a = trainer.model.apply(variables, batch, cond_traj=plan_a)
+    out_b = trainer.model.apply(variables, batch, cond_traj=plan_b)
+    assert float(jnp.abs(out_a["agent_positions"] - out_b["agent_positions"]).max()) > 1e-4
+
+
+def test_transformer_gan_trains():
+    """TransformerGAN: GAN objective with the transformer generator."""
+    from cld_tpu.training.gan import GANTrainer
+    from cld_tpu.utils.registry import get_registered_experiment_config
+
+    cfg = get_registered_experiment_config("nusc_transformer_gan").unlock()
+    cfg.env.rasterizer.raster_size = 64
+    cfg.train.training.batch_size = 4
+    trainer = GANTrainer(cfg)
+    assert trainer.model.generator_arch == "transformer"
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, m = trainer.train_step(state, batch, jax.random.key(1))
+    assert jnp.isfinite(m["d_loss"]) and jnp.isfinite(m["g_loss"])
