@@ -99,6 +99,8 @@ def drivable_gather_ref(pix: jnp.ndarray, drivable: jnp.ndarray) -> jnp.ndarray:
 
 
 def _drivable_gather_kernel(pix_ref, map_ref, out_ref):
+    b = pl.program_id(0)
+    q = pl.program_id(1)
     m = map_ref[0]  # [H, W]
     H, W = m.shape
     p = pix_ref[0, 0]  # [TILE, 2]
@@ -111,7 +113,10 @@ def _drivable_gather_kernel(pix_ref, map_ref, out_ref):
     ).astype(jnp.float32)
     g = jnp.dot(oh, m, preferred_element_type=jnp.float32)  # [TILE, W]
     cm = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], W), 1) == cols
-    out_ref[0, 0] = jnp.sum(jnp.where(cm, g, 0.0), axis=1)
+    vals = jnp.sum(jnp.where(cm, g, 0.0), axis=1)  # [TILE]
+    # out is one whole-array VMEM block (TPU block-tiling constraint: the
+    # per-(b, q) tile (1, TILE) is not a legal block shape)
+    out_ref[pl.ds(b, 1), pl.ds(q * _GATHER_TILE, _GATHER_TILE)] = vals[None]
 
 
 def drivable_gather_pallas(
@@ -124,7 +129,8 @@ def drivable_gather_pallas(
     pad = (-Q) % _GATHER_TILE
     if pad:
         pix = jnp.pad(pix, ((0, 0), (0, pad), (0, 0)))
-    nq = (Q + pad) // _GATHER_TILE
+    Qp = Q + pad
+    nq = Qp // _GATHER_TILE
     pixr = pix.reshape(B, nq, _GATHER_TILE, 2)
     out = pl.pallas_call(
         _drivable_gather_kernel,
@@ -135,12 +141,12 @@ def drivable_gather_pallas(
             pl.BlockSpec((1, H, W), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, _GATHER_TILE), lambda b, q: (b, q, 0),
+        out_specs=pl.BlockSpec((B, Qp), lambda b, q: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nq, _GATHER_TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Qp), jnp.float32),
         interpret=interpret,
     )(pixr, drivable.astype(jnp.float32))
-    return out.reshape(B, nq * _GATHER_TILE)[:, :Q]
+    return out[:, :Q]
 
 
 # ---------------------------------------------------------------------------
