@@ -16,6 +16,7 @@ Gradient masking matches the reference: non-guided/stationary agents see
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -88,6 +89,83 @@ _BIG_D2 = 1e12  # finite "masked" squared distance (inf would NaN the grad)
 
 
 @jax.custom_vjp
+def _min_dist_rigid(pts: jnp.ndarray, d2_local: jnp.ndarray, onroad: jnp.ndarray) -> jnp.ndarray:
+    """Rigid-cache form of the MapCollision min-distance kernel.
+
+    The P bbox points of one agent are a RIGID transform of a fixed
+    extent-scaled local grid, so pairwise distances between them are
+    pose-invariant: `d2_local` [..., P, P] is computed ONCE per agent
+    (scan-invariant — XLA hoists it out of the 100-step sampling loop) and
+    the per-step forward is just a masked min over it. The reference
+    gradient (live rows vs detached columns, `guidance_loss.py:826-850`)
+    is reinjected analytically in the custom backward: column j's cotangent
+    flows to its argmin row i* as g_j * (p_i* - p_j) / d_j, routed with two
+    small one-hot matmuls (TPU scatters are slow; matmuls are not).
+
+    pts [..., P, 2] CURRENT pose points (bwd only), onroad [..., P] bool.
+    """
+    d, _ = _min_dist_rigid_core(d2_local, onroad)
+    return d
+
+
+def _min_dist_rigid_core(d2_local, onroad):
+    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
+    idx = jnp.argmin(d2, axis=-2)
+    return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12), idx
+
+
+def _min_dist_rigid_fwd(pts, d2_local, onroad):
+    d, idx = _min_dist_rigid_core(d2_local, onroad)
+    return d, (pts, idx, d)
+
+
+def _min_dist_rigid_bwd(res, g):
+    pts, idx, dist = res
+    P = pts.shape[-2]
+    a = g / dist  # [..., P]
+    onehot = (idx[..., None, :] == jnp.arange(P)[:, None]).astype(pts.dtype)
+    # grad_i = p_i * sum_j 1[i*_j = i] a_j  -  sum_j 1[i*_j = i] a_j p_j
+    s_a = jnp.einsum("...ij,...j->...i", onehot, a)
+    s_ap = jnp.einsum("...ij,...jc->...ic", onehot, a[..., None] * pts)
+    grad = pts * s_a[..., None] - s_ap
+    return grad, None, None
+
+
+_min_dist_rigid.defvjp(_min_dist_rigid_fwd, _min_dist_rigid_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _min_dist_rigid_pallas(pts, d2_local, onroad, interpret=False):
+    """Pallas twin of _min_dist_rigid over the FULL horizon at once: the
+    pose-invariant distance cache and the one-hot backward routing live only
+    in VMEM (cld_tpu.ops.pallas_kernels.rigid_min/bwd_pallas) — the guided
+    sampler's hottest op runs with zero pairwise HBM traffic.
+
+    pts [B, Q, P, 2], d2_local [B, P, P], onroad [B, Q, P] bool."""
+    from cld_tpu.ops.pallas_kernels import rigid_min_pallas
+
+    d, _ = rigid_min_pallas(d2_local, onroad, interpret=interpret)
+    return d
+
+
+def _min_dist_rigid_pallas_fwd(pts, d2_local, onroad, interpret):
+    from cld_tpu.ops.pallas_kernels import rigid_min_pallas
+
+    d, idx = rigid_min_pallas(d2_local, onroad, interpret=interpret)
+    return d, (pts, idx, d)
+
+
+def _min_dist_rigid_pallas_bwd(interpret, res, g):
+    from cld_tpu.ops.pallas_kernels import rigid_bwd_pallas
+
+    pts, idx, dist = res
+    grad = rigid_bwd_pallas(pts, idx, dist, g, interpret=interpret)
+    return grad, None, None
+
+
+_min_dist_rigid_pallas.defvjp(_min_dist_rigid_pallas_fwd, _min_dist_rigid_pallas_bwd)
+
+
 def _min_dist_to_onroad(pts: jnp.ndarray, onroad: jnp.ndarray) -> jnp.ndarray:
     """For every bbox point: distance to the nearest ON-road bbox point of
     the same (agent, step). pts [..., P, 2], onroad [..., P] bool ->
@@ -95,51 +173,19 @@ def _min_dist_to_onroad(pts: jnp.ndarray, onroad: jnp.ndarray) -> jnp.ndarray:
 
     This is the kernel of MapCollisionLoss (`guidance_loss.py:826-850`):
     rows = live (differentiable) points masked to on-road, columns =
-    detached points. Written as a custom_vjp so the [P, P] pairwise matrix
-    exists only inside a single fused forward reduction — the backward pass
-    is O(P): the cotangent of column j flows solely to its argmin row i*,
-    d dist_j / d p_i* = (p_i* - p_j) / dist_j, scattered with a segment_sum
-    instead of rebuilding (and re-reading) the P x P matrix from HBM. Inside
-    the 100-step guided sampler this is the difference between ~10 ms and
-    <1 ms per denoise step.
+    detached points. Squared distances are reduced FIRST and the sqrt runs
+    on the reduced [..., P] tensor, so the P x P matrix stays inside one
+    fused compare-and-reduce on both the forward and the min's eq-mask
+    backward. (Measured on TPU: this default-AD form beats both a
+    custom_vjp with argmin+scatter backward — TPU scatters are slow — and
+    a one-hot matmul backward.)
     """
-    d, _ = _min_dist_fwd_core(pts, onroad)
-    return d
-
-
-def _min_dist_fwd_core(pts, onroad):
     det = jax.lax.stop_gradient(pts)
     d2 = jnp.sum(
         (pts[..., :, None, :] - det[..., None, :, :]) ** 2, axis=-1
     )  # [..., P(live rows), P(det cols)]
     d2 = jnp.where(onroad[..., :, None], d2, _BIG_D2)
-    idx = jnp.argmin(d2, axis=-2)  # [..., P] winning live row per column
-    min_d2 = jnp.min(d2, axis=-2)
-    return jnp.sqrt(min_d2 + 1e-12), idx
-
-
-def _min_dist_fwd(pts, onroad):
-    d, idx = _min_dist_fwd_core(pts, onroad)
-    return d, (pts, idx, d)
-
-
-def _min_dist_bwd(res, g):
-    pts, idx, dist = res
-    P = pts.shape[-2]
-    # winning live point per column, gathered O(P)
-    p_star = jnp.take_along_axis(pts, idx[..., None], axis=-2)  # [..., P, 2]
-    u = g[..., None] * (p_star - pts) / (dist[..., None])  # d dist_j / d p_i*
-    # scatter-add u_j into row idx_j: flatten batch dims, one segment_sum
-    batch_shape = pts.shape[:-2]
-    nb = int(np.prod(batch_shape)) if batch_shape else 1
-    seg = (idx + (P * jnp.arange(nb, dtype=idx.dtype)).reshape(batch_shape + (1,)))
-    grad_flat = jax.ops.segment_sum(
-        u.reshape(-1, 2), seg.reshape(-1), num_segments=nb * P
-    )
-    return grad_flat.reshape(pts.shape), None
-
-
-_min_dist_to_onroad.defvjp(_min_dist_fwd, _min_dist_bwd)
+    return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12)
 
 
 def _to_world(x: jnp.ndarray, world_from_agent: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -297,6 +343,13 @@ class MapCollisionLoss:
     num_points_lw: Tuple[int, int] = (10, 10)
     decay_rate: float = 0.9
     guide_moving_speed_th: float = 0.5
+    # drivable-map lookup: "jnp" (fancy-index gather), "pallas" (one-hot
+    # matmul kernel, cld_tpu.ops.pallas_kernels), or "auto" (pallas on TPU)
+    gather_impl: str = "jnp"
+    # min-distance kernel: "rigid" (pose-invariant distance cache hoisted
+    # out of the sampling loop + analytic argmin backward) or "pairwise"
+    # (direct P x P distances, checkpointed)
+    min_dist_impl: str = "rigid"
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
         B, N, T, _ = x.shape
@@ -328,8 +381,18 @@ class MapCollisionLoss:
         H, W = ctx.drivable_map.shape[-2:]
         col = jnp.clip(pix[..., 0].astype(jnp.int32), 0, W - 1)
         row = jnp.clip(pix[..., 1].astype(jnp.int32), 0, H - 1)
-        b_idx = jnp.arange(B).reshape(B, 1, 1, 1)
-        offroad = ctx.drivable_map[b_idx, row, col] <= 0  # [B, N, T, P]
+        impl = self.gather_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if impl == "pallas":
+            from cld_tpu.ops.pallas_kernels import drivable_gather_pallas
+
+            pixq = jnp.stack([col, row], axis=-1).reshape(B, N * T * P, 2)
+            vals = drivable_gather_pallas(pixq, ctx.drivable_map)
+            offroad = vals.reshape(B, N, T, P) <= 0
+        else:
+            b_idx = jnp.arange(B).reshape(B, 1, 1, 1)
+            offroad = ctx.drivable_map[b_idx, row, col] <= 0  # [B, N, T, P]
 
         per_step_coll = jnp.sum(offroad, axis=-1)
         overlap = (per_step_coll > 0) & (per_step_coll < P)  # [B, N, T]
@@ -339,11 +402,10 @@ class MapCollisionLoss:
         # per detached point, distance to the nearest live on-road point.
         # Loss 1 - d/diag at off-road columns then *pushes the live on-road
         # points away from the (fixed) off-road region*, i.e. pulls the
-        # agent back onto the road. The P x P matrix lives only inside
-        # `_min_dist_to_onroad`'s fused forward reduce; its custom backward
-        # is O(P) (argmin routing + segment_sum), so neither pass
-        # materializes [B*N*T, P, P] in HBM. Chunk-scanned over the horizon
-        # to bound the forward tile at scene scale (see _time_chunk).
+        # agent back onto the road. The P x P squared distances reduce
+        # inside `_min_dist_to_onroad` before the sqrt, so the pairwise
+        # matrix stays inside one fused compare-and-reduce. Chunk-scanned
+        # over the horizon to bound the tile at scene scale (_time_chunk).
         w = _decay_weights(T, self.decay_rate)
         K = _time_chunk(T, B * N * P * P)
         pad = (-T) % K
@@ -356,9 +418,53 @@ class MapCollisionLoss:
         ov_t = ov_t.reshape(-1, K, B, N)
         w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
 
+        if self.min_dist_impl == "rigid_pallas":
+            # Full-horizon pallas path: no chunk scan — the distance cache
+            # and backward routing are VMEM-resident, so there is nothing
+            # pairwise to bound in HBM.
+            d2_local = jnp.sum(
+                (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
+            )  # [B, P, P]
+            interp = jax.default_backend() != "tpu"
+            min_dist = _min_dist_rigid_pallas(
+                agt_pts.reshape(B, N * T, P, 2), d2_local,
+                (~offroad).reshape(B, N * T, P), interp,
+            ).reshape(B, N, T, P)
+            pt_loss = 1.0 - min_dist / diag_len[:, None, None, None]
+            has_onroad = jnp.any(~offroad, axis=-1, keepdims=True)
+            pt_loss = jnp.where(offroad & has_onroad, pt_loss, 0.0)
+            step_loss = jnp.where(overlap, jnp.sum(pt_loss, axis=-1), 0.0)
+            w = _decay_weights(T, self.decay_rate)
+            loss = jnp.einsum("t,bnt->bn", w, step_loss)
+            moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
+            return jnp.where(moving[:, None], loss, 0.0)
+
+        if self.min_dist_impl == "rigid":
+            # Pose-invariant pairwise distances between the agent's own bbox
+            # points: computed ONCE per agent and hoisted out of the
+            # sampling loop (it only depends on the extent-scaled local
+            # grid), so each denoise step pays just a masked min + the
+            # analytic argmin-routed backward. Distances equal the pairwise
+            # path up to rotation rounding.
+            d2_local = jnp.sum(
+                (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
+            ).reshape(1, B, 1, P, P)
+
+            def min_dist_fn(pts_k, off_k):
+                return _min_dist_rigid(pts_k, d2_local, ~off_k)
+            use_ckpt = False
+        else:
+            def min_dist_fn(pts_k, off_k):
+                return _min_dist_to_onroad(pts_k, ~off_k)
+            # jax.checkpoint is load-bearing here: without it the
+            # [K,B,N,P,P] squared distances become a grad residual
+            # (materialized to HBM); with it both passes are single fused
+            # compare-and-reduce sweeps
+            use_ckpt = True
+
         def step(acc, inp):
-            pts, off, ov, w_k = inp  # [K,B,N,P,2], [K,B,N,P], [K,B,N], [K]
-            min_dist = _min_dist_to_onroad(pts, ~off)  # [K, B, N, P]
+            pts_k, off, ov, w_k = inp  # [K,B,N,P,2], [K,B,N,P], [K,B,N], [K]
+            min_dist = min_dist_fn(pts_k, off)  # [K, B, N, P]
             pt_loss = 1.0 - min_dist / diag_len[None, :, None, None]
             # only off-road points with at least one on-road partner count
             # (`ov` already implies one exists; the explicit guard keeps the
@@ -369,6 +475,8 @@ class MapCollisionLoss:
             step_loss = jnp.where(ov, jnp.sum(pt_loss, axis=-1), 0.0)  # [K, B, N]
             return acc + jnp.einsum("k,kbn->bn", w_k, step_loss), None
 
+        if use_ckpt:
+            step = jax.checkpoint(step)
         loss, _ = jax.lax.scan(step, jnp.zeros((B, N)), (pts_t, off_t, ov_t, w_c))
         moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
         return jnp.where(moving[:, None], loss, 0.0)

@@ -150,6 +150,107 @@ def drivable_gather_pallas(
 
 
 # ---------------------------------------------------------------------------
+# rigid map-collision min-distance: masked min over a pose-invariant P x P
+# distance cache + analytic argmin-routed backward, fully VMEM-resident
+# ---------------------------------------------------------------------------
+def rigid_min_ref(d2_local: jnp.ndarray, onroad: jnp.ndarray):
+    """d2_local [B, P, P] pose-invariant squared distances (rows = live,
+    cols = detached), onroad [B, Q, P] f32 mask of live rows -> (min_dist
+    [B, Q, P], idx [B, Q, P] argmin row per column)."""
+    big = 1e12
+    d2 = jnp.where(onroad[..., :, None] > 0, d2_local[:, None], big)
+    return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12), jnp.argmin(d2, axis=-2)
+
+
+def _rigid_min_kernel(d2_ref, onroad_ref, dist_ref, idx_ref):
+    d2 = d2_ref[0]  # [P, P] (symmetric)
+    on = onroad_ref[0]  # [Q, P]
+    big = 1e12
+    # reduce over the LAST axis (Mosaic requirement: middle-axis argmin
+    # lowers to an unsupported 3D gather). d2 is symmetric, so masking the
+    # last axis as "live rows" is identical to masking axis -2.
+    masked = jnp.where(on[:, None, :] > 0, d2[None], big)  # [Q, P(det), P(live)]
+    dist_ref[0] = jnp.sqrt(jnp.min(masked, axis=-1) + 1e-12)
+    idx_ref[0] = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+
+
+def rigid_min_pallas(
+    d2_local: jnp.ndarray, onroad: jnp.ndarray, interpret: bool = False
+):
+    """Pallas forward of rigid_min_ref: grid (B,), the whole per-agent
+    distance cache + the Q masks live in VMEM (P=100, Q=52 -> ~2 MB)."""
+    B, P, _ = d2_local.shape
+    Q = onroad.shape[1]
+    dist, idx = pl.pallas_call(
+        _rigid_min_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, P, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Q, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, Q, P), jnp.int32),
+        ],
+        interpret=interpret,
+    )(d2_local, onroad.astype(jnp.float32))
+    return dist, idx
+
+
+def rigid_bwd_ref(pts, idx, dist, g):
+    """Analytic backward of the rigid min-distance: column j's cotangent g_j
+    flows to live row i* = idx_j as g_j * (p_i* - p_j) / dist_j.
+    pts [B, Q, P, 2], idx/dist/g [B, Q, P] -> grad [B, Q, P, 2]."""
+    P = pts.shape[-2]
+    a = g / dist
+    onehot = (idx[..., None, :] == jnp.arange(P)[:, None]).astype(pts.dtype)
+    s_a = jnp.einsum("...ij,...j->...i", onehot, a)
+    s_ap = jnp.einsum("...ij,...jc->...ic", onehot, a[..., None] * pts)
+    return pts * s_a[..., None] - s_ap
+
+
+def _rigid_bwd_kernel(pts_ref, idx_ref, dist_ref, g_ref, grad_ref):
+    pts = pts_ref[0]  # [Q, P, 2]
+    idx = idx_ref[0]  # [Q, P]
+    a = g_ref[0] / dist_ref[0]  # [Q, P]
+    Q, P, _ = pts.shape
+    onehot = (
+        idx[:, None, :] == jax.lax.broadcasted_iota(jnp.int32, (Q, P, P), 1)
+    ).astype(jnp.float32)  # [Q, P(live i), P(det j)]
+    s_a = jnp.sum(onehot * a[:, None, :], axis=2)  # [Q, P]
+    ap = a[..., None] * pts  # [Q, P, 2]
+    s_ap_x = jnp.sum(onehot * ap[:, None, :, 0], axis=2)
+    s_ap_y = jnp.sum(onehot * ap[:, None, :, 1], axis=2)
+    gx = pts[..., 0] * s_a - s_ap_x
+    gy = pts[..., 1] * s_a - s_ap_y
+    grad_ref[0] = jnp.stack([gx, gy], axis=-1)
+
+
+def rigid_bwd_pallas(pts, idx, dist, g, interpret: bool = False):
+    """Pallas backward: the [Q, P, P] one-hot routing tensor exists only in
+    VMEM — nothing pairwise ever touches HBM."""
+    B, Q, P, _ = pts.shape
+    return pl.pallas_call(
+        _rigid_bwd_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Q, P, 2), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q, P, 2), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Q, P, 2), jnp.float32),
+        interpret=interpret,
+    )(pts, idx, dist, g)
+
+
+# ---------------------------------------------------------------------------
 # disk-collision penalty: pairwise min-disk distances + decayed penalty
 # ---------------------------------------------------------------------------
 def disk_collision_penalty_ref(
