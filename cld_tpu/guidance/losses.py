@@ -166,6 +166,80 @@ def _min_dist_rigid_pallas_bwd(interpret, res, g):
 _min_dist_rigid_pallas.defvjp(_min_dist_rigid_pallas_fwd, _min_dist_rigid_pallas_bwd)
 
 
+@jax.custom_vjp
+def _min_dist_separable(pts, onroad, rd2, cd2):
+    """Separable exact-EDT form of the MapCollision min-distance kernel.
+
+    The P = R x C bbox points form a REGULAR anisotropic grid, so the
+    nearest-on-road-point distance is an exact two-pass separable Euclidean
+    distance transform: a within-row min over columns, then a min over rows
+    with the row-offset cost added — O(P * (R + C)) work instead of the
+    O(P^2) all-pairs matrix (2k vs 10k ops per point set at 10x10).
+    Distances are identical to the pairwise form.
+
+    pts [B, Q, P, 2] current pose points (backward only),
+    onroad [B, Q, P] bool (P flattened row-major as r * C + c),
+    rd2 [B, R, R] squared row-offset distances (spacing_l^2 * (r - r')^2),
+    cd2 [B, C, C] squared column-offset distances.
+    """
+    d, _ = _min_dist_separable_core(onroad, rd2, cd2)
+    return d
+
+
+def _min_dist_separable_core(onroad, rd2, cd2):
+    B, Q, P = onroad.shape
+    R = rd2.shape[-1]
+    C = cd2.shape[-1]
+    on = onroad.reshape(B, Q, R, C)
+    # stage 1: within each source row r', nearest on-road column per target
+    # column c: E[r', c] = min_{c' on-road} cd2[c, c']
+    m1 = jnp.where(on[:, :, :, None, :], cd2[:, None, None], _BIG_D2)  # [B,Q,R',C,C']
+    E = jnp.min(m1, axis=-1)
+    c_star = jnp.argmin(m1, axis=-1)  # [B, Q, R', C]
+    # stage 2: add the row-offset cost and reduce over source rows
+    E_t = jnp.swapaxes(E, 2, 3)  # [B, Q, C, R']
+    M = rd2[:, None, :, None, :] + E_t[:, :, None, :, :]  # [B, Q, R, C, R']
+    D = jnp.min(M, axis=-1)
+    r_star = jnp.argmin(M, axis=-1)  # [B, Q, R, C]
+    cs = jnp.take_along_axis(c_star, r_star, axis=2)  # [B, Q, R, C]
+    idx = (r_star * C + cs).reshape(B, Q, P)
+    return jnp.sqrt(D.reshape(B, Q, P) + 1e-12), idx
+
+
+def _min_dist_separable_fwd(pts, onroad, rd2, cd2):
+    d, idx = _min_dist_separable_core(onroad, rd2, cd2)
+    return d, (pts, idx, d, rd2.shape[-1], cd2.shape[-1])
+
+
+def _min_dist_separable_bwd(res, g):
+    pts, idx, dist, R, C = res
+    # factored one-hot routing: the joint site index (r*, c*) splits into a
+    # row one-hot and a column one-hot, so the backward is two [R, J] x
+    # [C, J] contractions instead of a P x P one-hot — ~10x less traffic
+    a = g / dist  # [B, Q, J]
+    r_s = idx // C
+    c_s = idx % C
+    oR = (r_s[:, :, None, :] == jnp.arange(R)[:, None]).astype(pts.dtype)  # [B,Q,R,J]
+    oC = (c_s[:, :, None, :] == jnp.arange(C)[:, None]).astype(pts.dtype)  # [B,Q,C,J]
+    px = pts[..., 0]
+    py = pts[..., 1]
+
+    def route(ch):  # [B, Q, J] -> [B, Q, P]
+        t = oR * ch[:, :, None, :]
+        s = jnp.einsum("bqrj,bqcj->bqrc", t, oC)
+        return s.reshape(ch.shape[:2] + (R * C,))
+
+    s_a = route(a)
+    s_ax = route(a * px)
+    s_ay = route(a * py)
+    gx = px * s_a - s_ax
+    gy = py * s_a - s_ay
+    return jnp.stack([gx, gy], axis=-1), None, None, None
+
+
+_min_dist_separable.defvjp(_min_dist_separable_fwd, _min_dist_separable_bwd)
+
+
 def _min_dist_to_onroad(pts: jnp.ndarray, onroad: jnp.ndarray) -> jnp.ndarray:
     """For every bbox point: distance to the nearest ON-road bbox point of
     the same (agent, step). pts [..., P, 2], onroad [..., P] bool ->
@@ -343,12 +417,19 @@ class MapCollisionLoss:
     num_points_lw: Tuple[int, int] = (10, 10)
     decay_rate: float = 0.9
     guide_moving_speed_th: float = 0.5
-    # drivable-map lookup: "jnp" (fancy-index gather), "pallas" (one-hot
-    # matmul kernel, cld_tpu.ops.pallas_kernels), or "auto" (pallas on TPU)
-    gather_impl: str = "jnp"
-    # min-distance kernel: "rigid" (pose-invariant distance cache hoisted
-    # out of the sampling loop + analytic argmin backward) or "pairwise"
-    # (direct P x P distances, checkpointed)
+    # drivable-map lookup: "auto" (pallas one-hot-matmul kernel on TPU —
+    # ~5 ms/denoise-step faster than the fancy-index gather at B=128 —
+    # plain jnp gather elsewhere), or force "jnp" / "pallas"
+    gather_impl: str = "auto"
+    # min-distance kernel (all numerically equivalent):
+    #   "rigid"       pose-invariant P x P distance cache hoisted out of the
+    #                 sampling loop + analytic argmin backward — the default
+    #                 (fastest measured on TPU v5e);
+    #   "separable"   exact two-pass EDT over the regular bbox grid,
+    #                 O(P*(R+C)) — algorithmically lighter but its
+    #                 take_along_axis/argmin chain lowers worse on TPU;
+    #   "rigid_pallas" fully VMEM-resident pallas fwd/bwd of "rigid";
+    #   "pairwise"    direct P x P distances (checkpointed)
     min_dist_impl: str = "rigid"
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
@@ -417,6 +498,27 @@ class MapCollisionLoss:
         ov_t = jnp.pad(overlap.transpose(2, 0, 1), ((0, pad), (0, 0), (0, 0)))
         ov_t = ov_t.reshape(-1, K, B, N)
         w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
+
+        if self.min_dist_impl == "separable":
+            # exact separable EDT over the regular bbox grid (see
+            # _min_dist_separable) — full horizon at once, no chunk scan
+            R, C = self.num_points_lw
+            li = jnp.asarray(lwise, jnp.float32)
+            wi = jnp.asarray(wwise, jnp.float32)
+            rd2 = ((li[:, None] - li[None]) ** 2)[None] * (lw[:, 0] ** 2)[:, None, None]
+            cd2 = ((wi[:, None] - wi[None]) ** 2)[None] * (lw[:, 1] ** 2)[:, None, None]
+            min_dist = _min_dist_separable(
+                agt_pts.reshape(B, N * T, P, 2),
+                (~offroad).reshape(B, N * T, P), rd2, cd2,
+            ).reshape(B, N, T, P)
+            pt_loss = 1.0 - min_dist / diag_len[:, None, None, None]
+            has_onroad = jnp.any(~offroad, axis=-1, keepdims=True)
+            pt_loss = jnp.where(offroad & has_onroad, pt_loss, 0.0)
+            step_loss = jnp.where(overlap, jnp.sum(pt_loss, axis=-1), 0.0)
+            w = _decay_weights(T, self.decay_rate)
+            loss = jnp.einsum("t,bnt->bn", w, step_loss)
+            moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
+            return jnp.where(moving[:, None], loss, 0.0)
 
         if self.min_dist_impl == "rigid_pallas":
             # Full-horizon pallas path: no chunk scan — the distance cache

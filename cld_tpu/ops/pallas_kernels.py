@@ -162,35 +162,52 @@ def rigid_min_ref(d2_local: jnp.ndarray, onroad: jnp.ndarray):
     return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12), jnp.argmin(d2, axis=-2)
 
 
+# agents per program. 1 is the VMEM-safe setting: the scoped-vmem stack
+# limit is 16 MB and the [BB*Q*P, P] masked tile costs ~10 MB per agent at
+# Q=52, P=100 (BB=8 OOMs at 82 MB).
+_RIGID_BB = 1
+
+
 def _rigid_min_kernel(d2_ref, onroad_ref, dist_ref, idx_ref):
-    d2 = d2_ref[0]  # [P, P] (symmetric)
-    on = onroad_ref[0]  # [Q, P]
+    d2 = d2_ref[...]  # [BB, P, P] (symmetric)
+    on = onroad_ref[...]  # [BB, Q, P]
     big = 1e12
-    # reduce over the LAST axis (Mosaic requirement: middle-axis argmin
-    # lowers to an unsupported 3D gather). d2 is symmetric, so masking the
-    # last axis as "live rows" is identical to masking axis -2.
-    masked = jnp.where(on[:, None, :] > 0, d2[None], big)  # [Q, P(det), P(live)]
-    dist_ref[0] = jnp.sqrt(jnp.min(masked, axis=-1) + 1e-12)
-    idx_ref[0] = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+    BB, Q, P = on.shape
+    # 2-D formulation [BB*Q*P, P]: reductions over the last axis of a 2-D
+    # tile are Mosaic's best-lowered shape (3-D argmin would lower through
+    # an unsupported gather; 3-D reduces vectorize worse). d2 is symmetric,
+    # so masking the last axis as "live rows" equals masking axis -2.
+    d2_t = jnp.broadcast_to(d2[:, None], (BB, Q, P, P)).reshape(BB * Q * P, P)
+    on_t = jnp.broadcast_to(on[:, :, None, :], (BB, Q, P, P)).reshape(BB * Q * P, P)
+    masked = jnp.where(on_t > 0, d2_t, big)  # [BB*Q*P(det), P(live)]
+    mn = jnp.min(masked, axis=-1)  # [BB*Q*P]
+    dist_ref[...] = jnp.sqrt(mn + 1e-12).reshape(BB, Q, P)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BB * Q * P, P), 1)
+    idx_ref[...] = (
+        jnp.min(jnp.where(masked == mn[..., None], iota, P), axis=-1)
+        .astype(jnp.int32)
+        .reshape(BB, Q, P)
+    )
 
 
 def rigid_min_pallas(
     d2_local: jnp.ndarray, onroad: jnp.ndarray, interpret: bool = False
 ):
-    """Pallas forward of rigid_min_ref: grid (B,), the whole per-agent
-    distance cache + the Q masks live in VMEM (P=100, Q=52 -> ~2 MB)."""
+    """Pallas forward of rigid_min_ref: grid (B / BB,), BB agents' distance
+    caches + masks per program in VMEM (P=100, Q=52, BB=8 -> ~17 MB)."""
     B, P, _ = d2_local.shape
     Q = onroad.shape[1]
+    bb = _RIGID_BB if B % _RIGID_BB == 0 else 1
     dist, idx = pl.pallas_call(
         _rigid_min_kernel,
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((1, P, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, P, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Q, P), jnp.float32),
@@ -213,41 +230,48 @@ def rigid_bwd_ref(pts, idx, dist, g):
     return pts * s_a[..., None] - s_ap
 
 
-def _rigid_bwd_kernel(pts_ref, idx_ref, dist_ref, g_ref, grad_ref):
-    pts = pts_ref[0]  # [Q, P, 2]
-    idx = idx_ref[0]  # [Q, P]
-    a = g_ref[0] / dist_ref[0]  # [Q, P]
-    Q, P, _ = pts.shape
+def _rigid_bwd_kernel(px_ref, py_ref, idx_ref, dist_ref, g_ref, gx_ref, gy_ref):
+    px = px_ref[...]  # [BB, Q, P]
+    py = py_ref[...]
+    idx = idx_ref[...]
+    a = g_ref[...] / dist_ref[...]
+    BB, Q, P = px.shape
+    pxf = px.reshape(BB * Q, P)
+    pyf = py.reshape(BB * Q, P)
+    af = a.reshape(BB * Q, P)
+    idxf = idx.reshape(BB * Q, P)
     onehot = (
-        idx[:, None, :] == jax.lax.broadcasted_iota(jnp.int32, (Q, P, P), 1)
-    ).astype(jnp.float32)  # [Q, P(live i), P(det j)]
-    s_a = jnp.sum(onehot * a[:, None, :], axis=2)  # [Q, P]
-    ap = a[..., None] * pts  # [Q, P, 2]
-    s_ap_x = jnp.sum(onehot * ap[:, None, :, 0], axis=2)
-    s_ap_y = jnp.sum(onehot * ap[:, None, :, 1], axis=2)
-    gx = pts[..., 0] * s_a - s_ap_x
-    gy = pts[..., 1] * s_a - s_ap_y
-    grad_ref[0] = jnp.stack([gx, gy], axis=-1)
+        idxf[:, None, :] == jax.lax.broadcasted_iota(jnp.int32, (BB * Q, P, P), 1)
+    ).astype(jnp.float32)  # [BB*Q, P(live i), P(det j)]
+    s_a = jnp.sum(onehot * af[:, None, :], axis=2)  # [BB*Q, P]
+    s_ap_x = jnp.sum(onehot * (af * pxf)[:, None, :], axis=2)
+    s_ap_y = jnp.sum(onehot * (af * pyf)[:, None, :], axis=2)
+    gx_ref[...] = (pxf * s_a - s_ap_x).reshape(BB, Q, P)
+    gy_ref[...] = (pyf * s_a - s_ap_y).reshape(BB, Q, P)
 
 
 def rigid_bwd_pallas(pts, idx, dist, g, interpret: bool = False):
-    """Pallas backward: the [Q, P, P] one-hot routing tensor exists only in
-    VMEM — nothing pairwise ever touches HBM."""
+    """Pallas backward: the one-hot routing tensor exists only in VMEM —
+    nothing pairwise ever touches HBM. x/y planes are separate [B, Q, P]
+    arrays (a trailing dim of 2 tiles terribly on the VPU and its integer
+    indexing lowers through an unsupported gather)."""
     B, Q, P, _ = pts.shape
-    return pl.pallas_call(
+    px = pts[..., 0]
+    py = pts[..., 1]
+    bb = _RIGID_BB if B % _RIGID_BB == 0 else 1
+    spec = pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    gx, gy = pl.pallas_call(
         _rigid_bwd_kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Q, P, 2), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        grid=(B // bb,),
+        in_specs=[spec] * 5,
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Q, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, Q, P), jnp.float32),
         ],
-        out_specs=pl.BlockSpec((1, Q, P, 2), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Q, P, 2), jnp.float32),
         interpret=interpret,
-    )(pts, idx, dist, g)
+    )(px, py, idx, dist, g)
+    return jnp.stack([gx, gy], axis=-1)
 
 
 # ---------------------------------------------------------------------------
