@@ -152,6 +152,13 @@ def load_reference_project_file(relpath: str, modname: str):
     path = REFERENCE_ROOT / relpath
     if not path.exists():
         return None
+    # load_reference_unicycle installs a hand-built PARTIAL tbsim package
+    # (dynamics.base + unicycle only). If that ran earlier in the session it
+    # shadows the real package and reference imports die on missing
+    # attributes — evict it so tbsim resolves fresh via sys.path.
+    if getattr(sys.modules.get("tbsim"), "__file__", None) is None:
+        for name in [n for n in sys.modules if n == "tbsim" or n.startswith("tbsim.")]:
+            del sys.modules[name]
     for p in (str(REFERENCE_ROOT / "src"), str(REFERENCE_ROOT)):
         if p not in sys.path:
             sys.path.append(p)
