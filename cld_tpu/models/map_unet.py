@@ -10,13 +10,14 @@ x/y residual + yaw) and the occupancy metric network
 (`algos/metric_algos.py:120-300` OccupancyMetric — one channel per future
 frame).
 
-TPU notes: NHWC end to end, bilinear resize for upsampling (XLA lowers it
-to MXU-friendly convs), all conv blocks in the configured compute dtype.
+TPU notes: NHWC end to end, nearest-neighbor resize for upsampling (a pure
+reshape/broadcast on TPU — no gather), all conv blocks in the configured
+compute dtype.
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
