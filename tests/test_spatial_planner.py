@@ -11,7 +11,7 @@ from cld_tpu.utils.config import default_config
 
 def small_cfg():
     cfg = default_config()
-    cfg.env.rasterizer.raster_size = 64
+    cfg.env.rasterizer.raster_size = 32
     cfg.train.training.batch_size = 4
     return cfg
 
@@ -23,19 +23,19 @@ def test_goal_supervision_roundtrip():
         get_spatial_goal_supervision, last_available_index)
     from cld_tpu.ops.geometry import transform_points
 
-    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
     av = batch.target_availabilities
     av = av.at[1, 30:].set(0.0)  # truncate agent 1's future
     batch = batch._replace(target_availabilities=av)
     idx = last_available_index(batch.target_availabilities)
     assert int(idx[1]) == 29
     sup = get_spatial_goal_supervision(batch)
-    assert sup["goal_spatial_map"].shape == (4, 64, 64)
+    assert sup["goal_spatial_map"].shape == (4, 32, 32)
     np.testing.assert_allclose(np.asarray(sup["goal_spatial_map"].sum(axis=(1, 2))), 1.0)
     # pixel + residual reconstructs the raster-space goal
     recon = sup["goal_position_pixel"] + sup["goal_position_residual"]
     direct = transform_points(sup["goal_position"][:, None], batch.raster_from_agent)[:, 0]
-    direct = jnp.clip(direct, 0.0, 64 - 1e-5)
+    direct = jnp.clip(direct, 0.0, 32 - 1e-5)
     np.testing.assert_allclose(np.asarray(recon), np.asarray(direct), atol=1e-4)
 
 
@@ -44,7 +44,7 @@ def test_spatial_planner_trains_and_decodes():
 
     cfg = small_cfg()
     trainer = ZooTrainer(cfg, "spatial_planner")
-    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
     state = trainer.init_state(jax.random.key(0), batch)
     m0 = None
     for i in range(3):
@@ -76,7 +76,7 @@ def test_occupancy_trains_and_scores():
 
     cfg = small_cfg()
     trainer = ZooTrainer(cfg, "occupancy")
-    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
     state = trainer.init_state(jax.random.key(0), batch)
     state, m0 = trainer.train_step(state, batch, jax.random.key(1))
     for _ in range(2):
@@ -101,7 +101,7 @@ def test_agent_predictor_trains():
 
     cfg = small_cfg()
     trainer = ZooTrainer(cfg, "agent_predictor")
-    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
     state = trainer.init_state(jax.random.key(0), batch)
     state, m0 = trainer.train_step(state, batch, jax.random.key(1))
     for _ in range(3):
@@ -118,7 +118,7 @@ def test_tree_vae_trains_and_samples():
 
     cfg = small_cfg()
     trainer = ZooTrainer(cfg, "tree_vae")
-    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
     state = trainer.init_state(jax.random.key(0), batch)
     state, m0 = trainer.train_step(state, batch, jax.random.key(1))
     for _ in range(3):
@@ -145,7 +145,7 @@ def test_bc_ec_trains_and_ec_conditions():
 
     cfg = small_cfg()
     trainer = ZooTrainer(cfg, "bc_ec")
-    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
     state = trainer.init_state(jax.random.key(0), batch)
     state, m = trainer.train_step(state, batch, jax.random.key(1))
     assert jnp.isfinite(m["loss"])
@@ -166,11 +166,11 @@ def test_transformer_gan_trains():
     from cld_tpu.utils.registry import get_registered_experiment_config
 
     cfg = get_registered_experiment_config("nusc_transformer_gan").unlock()
-    cfg.env.rasterizer.raster_size = 64
+    cfg.env.rasterizer.raster_size = 32
     cfg.train.training.batch_size = 4
     trainer = GANTrainer(cfg)
     assert trainer.model.generator_arch == "transformer"
-    batch = synthetic_batch(seed=0, batch_size=4, raster_size=64)
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
     state = trainer.init_state(jax.random.key(0), batch)
     state, m = trainer.train_step(state, batch, jax.random.key(1))
     assert jnp.isfinite(m["d_loss"]) and jnp.isfinite(m["g_loss"])
