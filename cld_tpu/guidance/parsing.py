@@ -154,7 +154,13 @@ def specs_from_configs(
             m = np.zeros(num_agents, bool)
             m[np.asarray(agents, int)] = True
             mask = tuple(bool(b) for b in m)
-        specs.append(
-            GuidanceSpec(cls(**params), float(cfg.get("weight", 1.0)), mask)
-        )
+        try:
+            loss = cls(**params)
+        except TypeError as e:
+            raise ValueError(
+                f"guidance rule {name!r} is missing required params ({e}); "
+                f"bind them via shorthand ('{name}:VALUE'), JSON params, or "
+                f"use --editing-source heuristic for state-derived targets"
+            ) from e
+        specs.append(GuidanceSpec(loss, float(cfg.get("weight", 1.0)), mask))
     return specs
