@@ -25,11 +25,20 @@ Dtype = Any
 
 
 class BCPlanner(nn.Module):
-    """Context -> action sequence -> unicycle-integrated trajectory."""
+    """Context -> action sequence -> unicycle-integrated trajectory.
+
+    `goal_conditional` adds the RasterizedGCModel capability (the bc_gc
+    algo, `rasterized_models.py` goal-conditioned variant /
+    `BehaviorCloningGC`, `algos.py`): the last available future position +
+    yaw embeds into a goal feature concatenated to the context, so the
+    decoder imitates trajectories consistent with a commanded goal. At
+    query time a custom goal can be passed via `goal`."""
 
     horizon: int = 52
     cond_feat_dim: int = 256
     map_arch: str = "resnet18"
+    goal_conditional: bool = False
+    goal_feature_dim: int = 32
     dyn: UnicycleParams = UnicycleParams(
         max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
     )
@@ -46,10 +55,30 @@ class BCPlanner(nn.Module):
             normalization=True,
             dtype=self.dtype,
         )
+        if self.goal_conditional:
+            self.goal_encoder = MLP(self.goal_feature_dim, (32,), dtype=self.dtype)
 
-    def __call__(self, batch: TrafficBatch, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def _goal_feature(self, batch: TrafficBatch, goal):
+        if goal is None:
+            # teacher forcing: the last available future frame is the goal
+            # (`AlgoUtils.get_spatial_goal_supervision` semantics)
+            from cld_tpu.models.spatial_planner import last_available_index
+
+            idx = last_available_index(batch.target_availabilities)
+            b = jnp.arange(batch.target_positions.shape[0])
+            goal = jnp.concatenate(
+                [batch.target_positions[b, idx], batch.target_yaws[b, idx]], axis=-1
+            )  # [B, 3]
+        return self.goal_encoder(goal.astype(self.dtype))
+
+    def __call__(
+        self, batch: TrafficBatch, train: bool = False, goal: jnp.ndarray = None
+    ) -> Dict[str, jnp.ndarray]:
         aux = self.context_encoder(batch, train=train)
-        actions = self.decoder(aux["cond_feat"]).reshape(-1, self.horizon, 2)
+        feat = aux["cond_feat"]
+        if self.goal_conditional:
+            feat = jnp.concatenate([feat, self._goal_feature(batch, goal)], axis=-1)
+        actions = self.decoder(feat).reshape(-1, self.horizon, 2)
         states = unicycle_forward_dynamics(
             self.dyn, get_current_states(batch), actions, self.dt
         )

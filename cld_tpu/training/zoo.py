@@ -74,6 +74,21 @@ def _bc(cfg):
     return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
 
 
+@register_algo("bc_gc")
+def _bc_gc(cfg):
+    """BehaviorCloningGC (`algos.py` goal-conditioned BC): BCPlanner with a
+    goal feature (last available future frame, teacher-forced)."""
+    from cld_tpu.models.bc import BCPlanner
+
+    model = BCPlanner(goal_conditional=True, **_model_dims(cfg))
+
+    def loss_call(variables, batch, rng, train):
+        out, mut = _apply_with_stats(model, variables, batch, method="loss", train=train)
+        return out["loss"], {"loss": out["loss"]}, mut
+
+    return {"model": model, "loss_call": loss_call, "init_rngs": ("params",)}
+
+
 @register_algo("vae")
 def _vae(cfg):
     """VAETrafficModel (`algos.py` VAE traffic model — the CVAE baseline,

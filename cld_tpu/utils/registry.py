@@ -71,7 +71,7 @@ def _zoo_config(algo_name: str, **algo_overrides):
 # the algo axis is fully covered.
 for _name, _algo in [
     ("nusc_bc", "bc"),
-    ("nusc_bc_gc", "bc"),  # goal-conditioned BC trains the same BC decoder
+    ("nusc_bc_gc", "bc_gc"),
     ("nusc_vae", "vae"),
     ("nusc_discrete_vae", "discrete_vae"),
     ("nusc_transformer", "TransformerPred"),

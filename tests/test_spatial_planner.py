@@ -174,3 +174,27 @@ def test_transformer_gan_trains():
     state = trainer.init_state(jax.random.key(0), batch)
     state, m = trainer.train_step(state, batch, jax.random.key(1))
     assert jnp.isfinite(m["d_loss"]) and jnp.isfinite(m["g_loss"])
+
+
+def test_bc_gc_trains_and_goal_conditions():
+    """bc_gc (goal-conditioned BC): trains on teacher-forced goals; a
+    different commanded goal changes the plan."""
+    from cld_tpu.training.zoo import ZooTrainer
+
+    cfg = small_cfg()
+    trainer = ZooTrainer(cfg, "bc_gc")
+    batch = synthetic_batch(seed=0, batch_size=4, raster_size=32)
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, m0 = trainer.train_step(state, batch, jax.random.key(1))
+    for _ in range(2):
+        state, m = trainer.train_step(state, batch, jax.random.key(1))
+    assert jnp.isfinite(m["loss"]) and float(m["loss"]) < float(m0["loss"])
+
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    goal_a = jnp.tile(jnp.asarray([[10.0, 0.0, 0.0]]), (4, 1))
+    goal_b = jnp.tile(jnp.asarray([[10.0, 20.0, 1.0]]), (4, 1))
+    out_a = trainer.model.apply(variables, batch, goal=goal_a)
+    out_b = trainer.model.apply(variables, batch, goal=goal_b)
+    assert float(jnp.abs(out_a["trajectories"] - out_b["trajectories"]).max()) > 1e-4
