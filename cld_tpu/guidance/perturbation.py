@@ -151,6 +151,32 @@ def per_sample_guidance_loss(
     return total
 
 
+def choose_closest_to_gt(
+    samples: jnp.ndarray,
+    positions: jnp.ndarray,
+    gt_positions: jnp.ndarray,
+    gt_avail: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """guide_with_gt selection: pick the sample whose positions are closest
+    to the observation's GT future (`choose_action_from_gt`,
+    `guidance_loss.py:67-100`; wired via the composer's guide_with_gt,
+    `dm_composer.py:6-34`). Availability-masked mean squared position error;
+    agents with no valid GT keep sample 0 (the reference's fallback).
+
+    samples [B, N, ...], positions [B, N, T, 2], gt_positions [B, T, 2],
+    gt_avail [B, T] -> ([B, ...], [B] indices).
+    """
+    av = gt_avail.astype(positions.dtype)
+    err = jnp.sum((positions - gt_positions[:, None]) ** 2, axis=-1)  # [B, N, T]
+    denom = jnp.maximum(jnp.sum(av, axis=-1), 1.0)
+    mse = jnp.sum(err * av[:, None], axis=-1) / denom[:, None]  # [B, N]
+    idx = jnp.where(jnp.sum(av, axis=-1) > 0, jnp.argmin(mse, axis=-1), 0)
+    best = jnp.take_along_axis(
+        samples, idx.reshape((-1, 1) + (1,) * (samples.ndim - 2)), axis=1
+    )[:, 0]
+    return best, idx
+
+
 def choose_best_sample(
     samples: jnp.ndarray, guide_losses: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -65,6 +65,11 @@ class SimState(NamedTuple):
     step: jnp.ndarray  # scalar int32 global frame index
     offroad_steps: jnp.ndarray  # [Na] accumulated offroad frames
     collision_steps: jnp.ndarray  # [Na] accumulated in-collision frames
+    # [Na, 3] in-collision frames by CollisionType (front, rear, side) —
+    # the reference's typed collision rates (`env_metrics.py:391-489` over
+    # `CollisionType`, `geometry_utils.py:331-400`); classified on device
+    # by the nearest colliding partner's bearing in the agent frame
+    collision_type_steps: jnp.ndarray
     max_abs_acc: jnp.ndarray  # [Na] comfort accumulators
     max_abs_yawvel: jnp.ndarray  # [Na]
 
@@ -92,6 +97,7 @@ def init_sim_state(pack: ScenePack, cfg: SimConfig) -> SimState:
         step=jnp.zeros((), jnp.int32),
         offroad_steps=jnp.zeros((Na,)),
         collision_steps=jnp.zeros((Na,)),
+        collision_type_steps=jnp.zeros((Na, 3)),
         max_abs_acc=jnp.zeros((Na,)),
         max_abs_yawvel=jnp.zeros((Na,)),
     )
@@ -155,6 +161,26 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
     # ego history yaw in agent frame
     hist_yaw_agent = state.history[:, :, 3:4] - yaw[:, None, None]
 
+    # dataset future (GT) in the agent frame — the reference's observation
+    # carries the scene's remaining GT trajectory (`env_trajdata.py:314-369`
+    # via parse_trajdata_batch target_*); consumed by guide_with_gt sample
+    # selection and eval metrics
+    T_plan = 52
+    if pack.gt_states is not None:
+        gt_pad = jnp.pad(pack.gt_states, ((0, 0), (0, T_plan), (0, 0)))
+        av_pad = jnp.pad(
+            pack.gt_avail.astype(jnp.float32), ((0, 0), (0, T_plan))
+        )
+        fut = jax.lax.dynamic_slice_in_dim(gt_pad, state.step + 1, T_plan, axis=1)
+        fut_av = jax.lax.dynamic_slice_in_dim(av_pad, state.step + 1, T_plan, axis=1)
+        tgt_pos = transform_points(fut[..., :2], a_from_w)
+        tgt_yaw = fut[..., 3:4] - yaw[:, None, None]
+        tgt_av = fut_av
+    else:
+        tgt_pos = jnp.zeros((Na, T_plan, 2))
+        tgt_yaw = jnp.zeros((Na, T_plan, 1))
+        tgt_av = jnp.zeros((Na, T_plan))
+
     # neighbor history in each agent's frame — consumed by the planner
     # policies' constant-velocity predictors (policies/mpc.py) exactly as
     # the reference's observation dict carries all_other_agents_history_*
@@ -171,9 +197,9 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         history_yaws=hist_yaw_agent,
         history_availabilities=ego_avail,
         curr_speed=state.states[:, 2],
-        target_positions=jnp.zeros((Na, 52, 2)),
-        target_yaws=jnp.zeros((Na, 52, 1)),
-        target_availabilities=jnp.zeros((Na, 52)),
+        target_positions=tgt_pos,
+        target_yaws=tgt_yaw,
+        target_availabilities=tgt_av,
         extent=pack.extent,
         all_other_agents_future_positions=jnp.zeros((Na, 1, 52, 2)),
         all_other_agents_future_availability=jnp.zeros((Na, 1, 52)),
@@ -219,7 +245,32 @@ def _consume_actions(
         same_scene = pack.scene_index[:, None] == pack.scene_index[None, :]
         valid_pair = same_scene & ~jnp.eye(pack.num_agents, dtype=bool)
         lengths = (pack.extent[:, None, 0] + pack.extent[None, :, 0]) / 2.0
-        colliding = jnp.any((dist < lengths * cfg.collision_thresh) & valid_pair, axis=-1)
+        coll_pair = (dist < lengths * cfg.collision_thresh) & valid_pair
+        colliding = jnp.any(coll_pair, axis=-1)
+
+        # CollisionType classification (`geometry_utils.py:331-400` via
+        # shapely side intersections, here the TPU-native bearing test):
+        # the nearest colliding partner's offset in the agent frame,
+        # extent-normalized — longitudinal-dominant ahead = FRONT, behind =
+        # REAR, lateral-dominant = SIDE
+        yaw_i = new_states[:, 3]
+        rel = pos[None, :, :] - pos[:, None, :]  # [i, j, 2]
+        c_i, s_i = jnp.cos(yaw_i)[:, None], jnp.sin(yaw_i)[:, None]
+        dx = c_i * rel[..., 0] + s_i * rel[..., 1]  # [i, j] longitudinal
+        dy = -s_i * rel[..., 0] + c_i * rel[..., 1]  # lateral
+        nearest = jnp.argmin(jnp.where(coll_pair, dist, jnp.inf), axis=-1)  # [Na]
+        ar = jnp.arange(pack.num_agents)
+        lon_n = dx[ar, nearest] / jnp.maximum(pack.extent[:, 0], 1e-3)
+        lat_n = dy[ar, nearest] / jnp.maximum(pack.extent[:, 1], 1e-3)
+        longitudinal = jnp.abs(lon_n) >= jnp.abs(lat_n)
+        ctype = jnp.stack(
+            [
+                colliding & longitudinal & (lon_n >= 0),  # FRONT
+                colliding & longitudinal & (lon_n < 0),  # REAR
+                colliding & ~longitudinal,  # SIDE
+            ],
+            axis=-1,
+        ).astype(jnp.float32)
 
         history = jnp.concatenate([st.history[:, 1:], new_states[:, None]], axis=1)
         return (
@@ -229,6 +280,7 @@ def _consume_actions(
                 step=st.step + 1,
                 offroad_steps=st.offroad_steps + offroad,
                 collision_steps=st.collision_steps + colliding.astype(jnp.float32),
+                collision_type_steps=st.collision_type_steps + ctype,
                 max_abs_acc=jnp.maximum(st.max_abs_acc, jnp.abs(u[:, 0])),
                 max_abs_yawvel=jnp.maximum(st.max_abs_yawvel, jnp.abs(u[:, 1])),
             ),

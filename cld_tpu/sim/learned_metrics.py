@@ -38,6 +38,7 @@ def _sim_state_at(traj: jnp.ndarray, t: jnp.ndarray, Th: int) -> SimState:
         step=t.astype(jnp.int32),
         offroad_steps=zeros,
         collision_steps=zeros,
+        collision_type_steps=jnp.zeros((Na, 3)),
         max_abs_acc=zeros,
         max_abs_yawvel=zeros,
     )

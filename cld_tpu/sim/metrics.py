@@ -34,11 +34,18 @@ def summarize_metrics(
     acc = np.asarray(state.max_abs_acc)[mask]
     yawvel = np.asarray(state.max_abs_yawvel)[mask]
 
+    ctype = np.asarray(state.collision_type_steps)[mask]  # [n, 3]
+
     offroad_rate = float((offroad > 0).mean())  # any offroad step -> failure
     collision_rate = float((collision > 0).mean())
     return {
         "offroad_rate": offroad_rate,
         "collision_rate": collision_rate,
+        # typed rates, mirroring CollisionRate's per-CollisionType dict
+        # (`env_metrics.py:415-489`)
+        "collision_rate_front": float((ctype[:, 0] > 0).mean()),
+        "collision_rate_rear": float((ctype[:, 1] > 0).mean()),
+        "collision_rate_side": float((ctype[:, 2] > 0).mean()),
         "offroad_step_fraction": float(offroad.sum() / (len(offroad) * n_steps)),
         "collision_step_fraction": float(collision.sum() / (len(collision) * n_steps)),
         "critical_failure_rate": float(((offroad > 0) | (collision > 0)).mean()),

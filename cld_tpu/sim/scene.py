@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -34,10 +35,42 @@ class ScenePack(NamedTuple):
     # the closest-lane machinery (ops/lanes.py; ref trajdata_utils.py:882-1019)
     lane_points: Optional[jnp.ndarray] = None  # [Ns, L, 3]
     lane_avail: Optional[jnp.ndarray] = None  # [Ns, L] bool
+    # dataset ("ground-truth") world states under the replay actions, frame
+    # 0 = init: [Na, T_sim+1, 4]. Feeds the observation's target_* channels
+    # (the reference's obs carries the scene's GT future,
+    # `env_trajdata.py:314-369`) and `--guide-with-gt` sample selection
+    # (`choose_action_from_gt`, guidance_loss.py:67-100).
+    gt_states: Optional[jnp.ndarray] = None
+    gt_avail: Optional[jnp.ndarray] = None  # [Na, T_sim+1] bool
 
     @property
     def num_agents(self) -> int:
         return self.init_states.shape[0]
+
+
+def _roll_gt_states(
+    init_states: np.ndarray, replay_actions: np.ndarray, dt: float = 0.1
+) -> np.ndarray:
+    """Integrate the replay actions through the bounded unicycle to get the
+    dataset future in world frame: [Na, T_sim+1, 4], frame 0 = init. Uses
+    the simulator's action bounds (SimConfig.dyn) so replayed agents' GT
+    matches what the sim will execute for them."""
+    from cld_tpu.ops.dynamics import UnicycleParams, unicycle_step
+
+    dyn = UnicycleParams(
+        max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
+    )
+    x = jnp.asarray(init_states)
+    u = jnp.asarray(replay_actions)
+
+    def step(x, u_t):
+        nxt = unicycle_step(dyn, x, u_t, dt, bound=True)
+        return nxt, nxt
+
+    _, traj = jax.lax.scan(step, x, jnp.swapaxes(u, 0, 1))
+    return np.asarray(
+        jnp.concatenate([x[:, None], jnp.swapaxes(traj, 0, 1)], axis=1)
+    )
 
 
 def synthetic_scene_pack(
@@ -105,6 +138,8 @@ def synthetic_scene_pack(
         extent=jnp.asarray(extent),
         lane_points=jnp.asarray(np.broadcast_to(lane_pts, (Ns,) + lane_pts.shape).copy()),
         lane_avail=jnp.asarray(np.broadcast_to(lane_avail, (Ns,) + lane_avail.shape).copy()),
+        gt_states=jnp.asarray(_roll_gt_states(init_states, replay_actions)),
+        gt_avail=jnp.ones((Na, sim_steps + 1), bool),
     )
 
 
@@ -282,6 +317,18 @@ def scene_pack_from_batches(
         extent=jnp.asarray(batch.extent),
         lane_points=jnp.asarray(lane_pts),
         lane_avail=jnp.asarray(lane_avail),
+        gt_states=jnp.asarray(_roll_gt_states(init_states, replay)),
+        # GT is only valid while dataset future actions exist; past the GT
+        # horizon the zero-padded replay coasts and is marked unavailable
+        gt_avail=jnp.asarray(
+            np.concatenate(
+                [
+                    np.ones((B, 1), bool),
+                    (np.arange(sim_steps)[None, :] < avail.sum(-1, keepdims=True)),
+                ],
+                axis=1,
+            )
+        ),
     )
 
 

@@ -33,6 +33,7 @@ from cld_tpu.guidance.losses import GuidanceContext
 from cld_tpu.guidance.parsing import parse_guidance_arg, specs_from_configs
 from cld_tpu.guidance.perturbation import (
     choose_best_sample,
+    choose_closest_to_gt,
     make_perturbation_guidance,
     per_sample_guidance_loss,
 )
@@ -177,7 +178,14 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 guidance_clean=args.guide_clean,
             )
         traj = decode_fn(out["pred_traj"])  # [Na, N, T, 6] descaled
-        if num_samp > 1 and specs:
+        if num_samp > 1 and args.guide_with_gt and obs.target_positions is not None:
+            # guide_with_gt takes precedence over guidance-loss filtration
+            # (`algos/algos.py:2058`, choose_action_from_gt)
+            best, _ = choose_closest_to_gt(
+                traj, traj[..., :2], obs.target_positions,
+                obs.target_availabilities,
+            )
+        elif num_samp > 1 and specs:
             # filtration: pick the sample minimizing the total guidance
             # loss per agent (`choose_action_from_guidance`,
             # guidance_loss.py:22; algos/algos.py:2024-2100)
@@ -249,6 +257,11 @@ def main():
                         help="skip per-step perturbation; use guidance only "
                              "to select among --num-action-samples plans "
                              "(dm_composer.py:6-34 guide_as_filter_only)")
+    parser.add_argument("--guide-with-gt", action="store_true",
+                        help="with --num-action-samples > 1: select the "
+                             "sample closest to the observation's GT future "
+                             "instead of the lowest guidance loss "
+                             "(choose_action_from_gt, guidance_loss.py:67)")
     parser.add_argument("--guide-clean", action="store_true",
                         help="perturb the clean x0 reconstruction instead of "
                              "the noisy posterior mean (diffuser.py:863-918 "

@@ -405,3 +405,30 @@ def test_map_collision_custom_vjp_matches_bruteforce():
     g_naive = jax.grad(lambda p: jnp.sum(naive(p) * w))(pts)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_naive),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_choose_closest_to_gt():
+    """guide_with_gt selection: availability-masked closest-to-GT sample;
+    agents with no valid GT fall back to sample 0
+    (`choose_action_from_gt`, guidance_loss.py:67-100)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cld_tpu.guidance.perturbation import choose_closest_to_gt
+
+    B, N, T = 3, 4, 6
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(0, 5, (B, N, T, 2)), jnp.float32)
+    gt = jnp.asarray(rng.normal(0, 5, (B, T, 2)), jnp.float32)
+    # make sample 2 exactly match GT for agent 0, sample 1 for agent 1
+    pos = pos.at[0, 2].set(gt[0]).at[1, 1].set(gt[1])
+    avail = jnp.ones((B, T)).at[2].set(0.0)  # agent 2: no GT
+    samples = jnp.concatenate([pos, jnp.zeros((B, N, T, 4))], axis=-1)
+    best, idx = choose_closest_to_gt(samples, pos, gt, avail)
+    assert idx.tolist()[:2] == [2, 1]
+    assert int(idx[2]) == 0  # fallback
+    np.testing.assert_allclose(np.asarray(best[0, :, :2]), np.asarray(gt[0]))
+    # masked steps are ignored: corrupt sample 2 of agent 0 at a masked step
+    avail2 = jnp.ones((B, T)).at[0, 3].set(0.0)
+    pos2 = pos.at[0, 2, 3].set(1e3)
+    _, idx2 = choose_closest_to_gt(samples, pos2, gt, avail2)
+    assert int(idx2[0]) == 2

@@ -154,3 +154,51 @@ def test_collision_metric_detects_crash():
     state, traj = simulate(pack, constant_policy(0.0, 0.0), jax.random.key(0), cfg)
     m = summarize_metrics(pack, state, cfg)
     assert m["collision_rate"] > 0.0
+
+
+def test_collision_types_front_rear():
+    """Rear-ending: the striking agent records FRONT collisions, the struck
+    agent REAR — the reference's CollisionType classification
+    (`geometry_utils.py:331-400`, rates per type in `env_metrics.py:415`)."""
+    pack = synthetic_scene_pack(seed=1, num_scenes=1, agents_per_scene=2, sim_steps=40)
+    init = np.array(pack.init_states)
+    init[0] = [0.0, 0.0, 12.0, 0.0]
+    init[1] = [8.0, 0.0, 0.0, 0.0]
+    pack = pack._replace(
+        init_states=jnp.asarray(init),
+        controlled_mask=jnp.ones(2, bool),
+    )
+    cfg = SimConfig(num_simulation_steps=40, n_step_action=5, raster_size=64, hist_frames=10)
+    state, _ = simulate(pack, constant_policy(0.0, 0.0), jax.random.key(0), cfg)
+    ctype = np.asarray(state.collision_type_steps)
+    # the striker hits FRONT-first, the struck agent is hit from the REAR;
+    # after the (contact-free) pass-through the bearings flip, so only the
+    # first-contact type and the absence of SIDE contacts are asserted
+    assert ctype[0, 0] > 0 and ctype[0, 2] == 0  # striker: FRONT, never SIDE
+    assert ctype[1, 1] > 0 and ctype[1, 2] == 0  # struck: REAR, never SIDE
+    m = summarize_metrics(pack, state, cfg)
+    assert m["collision_rate_front"] > 0 and m["collision_rate_rear"] > 0
+    assert m["collision_rate_side"] == 0.0
+    # typed step counts partition the untyped collision counter
+    np.testing.assert_allclose(
+        ctype.sum(-1), np.asarray(state.collision_steps), rtol=1e-6)
+
+
+def test_observation_carries_gt_future():
+    """render_observation exposes the dataset future (target_* channels) in
+    the agent frame, matching the pack's world-frame GT replay — the
+    reference's observation carries the scene GT (`env_trajdata.py:314-369`)."""
+    pack = synthetic_scene_pack(seed=0, num_scenes=1, agents_per_scene=2, sim_steps=20)
+    state = init_sim_state(pack, CFG)
+    obs = render_observation(pack, state, CFG)
+    assert obs.target_availabilities.shape == (2, 52)
+    # frames 1..20 available from step 0, the padded tail unavailable
+    np.testing.assert_allclose(np.asarray(obs.target_availabilities[:, :20]), 1.0)
+    np.testing.assert_allclose(np.asarray(obs.target_availabilities[:, 20:]), 0.0)
+    # agent-frame target at k maps back to the world GT at frame k+1
+    wfa = np.asarray(world_from_agent_matrix(state.states[:, :2], state.states[:, 3]))
+    tgt = np.asarray(obs.target_positions)  # [Na, 52, 2]
+    k = 4
+    back = np.einsum("nij,nj->ni", wfa[:, :2, :2], tgt[:, k]) + wfa[:, :2, 2]
+    np.testing.assert_allclose(
+        back, np.asarray(pack.gt_states[:, k + 1, :2]), atol=1e-4)
