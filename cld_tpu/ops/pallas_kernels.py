@@ -20,8 +20,6 @@ and are the path of record for large-scene batches.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,16 +99,19 @@ def drivable_gather_ref(pix: jnp.ndarray, drivable: jnp.ndarray) -> jnp.ndarray:
 def _drivable_gather_kernel(pix_ref, map_ref, out_ref):
     b = pl.program_id(0)
     q = pl.program_id(1)
-    m = map_ref[0]  # [H, W]
+    m = map_ref[0]  # [H, W] bf16
     H, W = m.shape
     p = pix_ref[0, 0]  # [TILE, 2]
     rows = p[:, 1:2]
     cols = p[:, 0:1]
     # row-select as a one-hot matmul (MXU), column-select as a lane mask —
-    # TPU-native replacement for the irregular gather
+    # TPU-native replacement for the irregular gather. The one-hot and the
+    # (binarizable) map multiply exactly in bf16, which runs the MXU at
+    # full rate — the f32 variant was ~4x the FLOP time for identical
+    # results on 0/1-valued drivable maps.
     oh = (
         jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], H), 1) == rows
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
     g = jnp.dot(oh, m, preferred_element_type=jnp.float32)  # [TILE, W]
     cm = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], W), 1) == cols
     vals = jnp.sum(jnp.where(cm, g, 0.0), axis=1)  # [TILE]
@@ -123,7 +124,11 @@ def drivable_gather_pallas(
     pix: jnp.ndarray, drivable: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
     """Pallas version of drivable_gather_ref: grid (B, Q/TILE), each tile a
-    one-hot-matmul row select + masked column reduce, fully VMEM-resident."""
+    one-hot-matmul row select + masked column reduce, fully VMEM-resident.
+
+    Map values round to bf16 on the way through the MXU — exact for 0/1
+    drivable masks, and sign-preserving for arbitrary values (the consumers
+    threshold at <= 0)."""
     B, Q, _ = pix.shape
     _, H, W = drivable.shape
     pad = (-Q) % _GATHER_TILE
@@ -145,7 +150,7 @@ def drivable_gather_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Qp), jnp.float32),
         interpret=interpret,
-    )(pixr, drivable.astype(jnp.float32))
+    )(pixr, drivable.astype(jnp.bfloat16))
     return out[:, :Q]
 
 
@@ -162,60 +167,91 @@ def rigid_min_ref(d2_local: jnp.ndarray, onroad: jnp.ndarray):
     return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12), jnp.argmin(d2, axis=-2)
 
 
-# agents per program. 1 is the VMEM-safe setting: the scoped-vmem stack
-# limit is 16 MB and the [BB*Q*P, P] masked tile costs ~10 MB per agent at
-# Q=52, P=100 (BB=8 OOMs at 82 MB).
-_RIGID_BB = 1
+# Program sizing: BB agents x QB horizon rows per program on a 2-D grid.
+# Large BB amortizes per-block DMA of the [BB, P, P] distance cache (its
+# index map is q-invariant, so it stays resident across the inner q sweep);
+# QB bounds the [BB*QB*P, P] masked tile under the 16 MB scoped-VMEM stack.
+# Mosaic block tiling requires QB % 8 == 0 (or QB == Q), so the wrappers
+# pad the horizon to a multiple of 8 and fix QB = 8. BB=8, QB=8, P=100:
+# 6400 rows x 100 lanes ~= 2.6 MB per live intermediate, ~4 live -> ~10 MB.
+_RIGID_BB = 8
+_RIGID_QB = 8
+
+
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (>= 1)."""
+    b = 1
+    for d in range(1, min(n, target) + 1):
+        if n % d == 0:
+            b = d
+    return b
+
+
+def _rigid_blocks(B: int, Q: int):
+    """(bb, qb, qpad) program sizing for the rigid kernels."""
+    bb = _pick_block(B, _RIGID_BB)
+    if Q <= _RIGID_QB:
+        return bb, Q, 0
+    qpad = (-Q) % _RIGID_QB
+    return bb, _RIGID_QB, qpad
 
 
 def _rigid_min_kernel(d2_ref, onroad_ref, dist_ref, idx_ref):
-    d2 = d2_ref[...]  # [BB, P, P] (symmetric)
-    on = onroad_ref[...]  # [BB, Q, P]
     big = 1e12
-    BB, Q, P = on.shape
-    # 2-D formulation [BB*Q*P, P]: reductions over the last axis of a 2-D
+    BB, QB, P = onroad_ref.shape
+    d2 = d2_ref[...]  # [BB, P, P] (symmetric)
+    # 2-D formulation [BB*QB*P, P]: reductions over the last axis of a 2-D
     # tile are Mosaic's best-lowered shape (3-D argmin would lower through
     # an unsupported gather; 3-D reduces vectorize worse). d2 is symmetric,
     # so masking the last axis as "live rows" equals masking axis -2.
-    d2_t = jnp.broadcast_to(d2[:, None], (BB, Q, P, P)).reshape(BB * Q * P, P)
-    on_t = jnp.broadcast_to(on[:, :, None, :], (BB, Q, P, P)).reshape(BB * Q * P, P)
-    masked = jnp.where(on_t > 0, d2_t, big)  # [BB*Q*P(det), P(live)]
-    mn = jnp.min(masked, axis=-1)  # [BB*Q*P]
-    dist_ref[...] = jnp.sqrt(mn + 1e-12).reshape(BB, Q, P)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BB * Q * P, P), 1)
+    d2_t = jnp.broadcast_to(d2[:, None], (BB, QB, P, P)).reshape(BB * QB * P, P)
+    on = onroad_ref[...]
+    on_t = jnp.broadcast_to(on[:, :, None, :], (BB, QB, P, P)).reshape(
+        BB * QB * P, P
+    )
+    masked = jnp.where(on_t > 0, d2_t, big)  # [BB*QB*P(det), P(live)]
+    mn = jnp.min(masked, axis=-1)  # [BB*QB*P]
+    dist_ref[...] = jnp.sqrt(mn + 1e-12).reshape(BB, QB, P)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BB * QB * P, P), 1)
     idx_ref[...] = (
         jnp.min(jnp.where(masked == mn[..., None], iota, P), axis=-1)
         .astype(jnp.int32)
-        .reshape(BB, Q, P)
+        .reshape(BB, QB, P)
     )
 
 
 def rigid_min_pallas(
     d2_local: jnp.ndarray, onroad: jnp.ndarray, interpret: bool = False
 ):
-    """Pallas forward of rigid_min_ref: grid (B / BB,), BB agents' distance
-    caches + masks per program in VMEM (P=100, Q=52, BB=8 -> ~17 MB)."""
+    """Pallas forward of rigid_min_ref: 2-D grid (B/BB, Q/QB). The q axis is
+    innermost, so the [BB, P, P] distance block's index map is q-invariant
+    and Pallas keeps it VMEM-resident across the whole horizon sweep while
+    the mask/output blocks stream (double-buffered)."""
     B, P, _ = d2_local.shape
     Q = onroad.shape[1]
-    bb = _RIGID_BB if B % _RIGID_BB == 0 else 1
+    bb, qb, qpad = _rigid_blocks(B, Q)
+    if qpad:
+        # padded rows are all-off-road -> dist sqrt(BIG), sliced away below
+        onroad = jnp.pad(onroad, ((0, 0), (0, qpad), (0, 0)))
+    Qp = Q + qpad
     dist, idx = pl.pallas_call(
         _rigid_min_kernel,
-        grid=(B // bb,),
+        grid=(B // bb, Qp // qb),
         in_specs=[
-            pl.BlockSpec((bb, P, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, P, P), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, qb, P), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, qb, P), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, qb, P), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Q, P), jnp.float32),
-            jax.ShapeDtypeStruct((B, Q, P), jnp.int32),
+            jax.ShapeDtypeStruct((B, Qp, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, Qp, P), jnp.int32),
         ],
         interpret=interpret,
     )(d2_local, onroad.astype(jnp.float32))
-    return dist, idx
+    return dist[:, :Q], idx[:, :Q]
 
 
 def rigid_bwd_ref(pts, idx, dist, g):
@@ -231,47 +267,54 @@ def rigid_bwd_ref(pts, idx, dist, g):
 
 
 def _rigid_bwd_kernel(px_ref, py_ref, idx_ref, dist_ref, g_ref, gx_ref, gy_ref):
-    px = px_ref[...]  # [BB, Q, P]
-    py = py_ref[...]
-    idx = idx_ref[...]
-    a = g_ref[...] / dist_ref[...]
-    BB, Q, P = px.shape
-    pxf = px.reshape(BB * Q, P)
-    pyf = py.reshape(BB * Q, P)
-    af = a.reshape(BB * Q, P)
-    idxf = idx.reshape(BB * Q, P)
-    onehot = (
-        idxf[:, None, :] == jax.lax.broadcasted_iota(jnp.int32, (BB * Q, P, P), 1)
-    ).astype(jnp.float32)  # [BB*Q, P(live i), P(det j)]
-    s_a = jnp.sum(onehot * af[:, None, :], axis=2)  # [BB*Q, P]
+    BB, QB, P = px_ref.shape
+    pxf = px_ref[...].reshape(BB * QB, P)
+    pyf = py_ref[...].reshape(BB * QB, P)
+    af = (g_ref[...] / dist_ref[...]).reshape(BB * QB, P)
+    idxf = idx_ref[...].reshape(BB * QB, P)
+    # [BB*QB, P(live i), P(det j)] one-hot routing tile, VMEM-only
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BB * QB, P, P), 1)
+    onehot = (idxf[:, None, :] == iota).astype(jnp.float32)
+    s_a = jnp.sum(onehot * af[:, None, :], axis=2)  # [BB*QB, P]
     s_ap_x = jnp.sum(onehot * (af * pxf)[:, None, :], axis=2)
     s_ap_y = jnp.sum(onehot * (af * pyf)[:, None, :], axis=2)
-    gx_ref[...] = (pxf * s_a - s_ap_x).reshape(BB, Q, P)
-    gy_ref[...] = (pyf * s_a - s_ap_y).reshape(BB, Q, P)
+    gx_ref[...] = (pxf * s_a - s_ap_x).reshape(BB, QB, P)
+    gy_ref[...] = (pyf * s_a - s_ap_y).reshape(BB, QB, P)
 
 
 def rigid_bwd_pallas(pts, idx, dist, g, interpret: bool = False):
     """Pallas backward: the one-hot routing tensor exists only in VMEM —
     nothing pairwise ever touches HBM. x/y planes are separate [B, Q, P]
     arrays (a trailing dim of 2 tiles terribly on the VPU and its integer
-    indexing lowers through an unsupported gather)."""
+    indexing lowers through an unsupported gather). Same 2-D (agents,
+    horizon-chunk) grid sizing as the forward."""
     B, Q, P, _ = pts.shape
     px = pts[..., 0]
     py = pts[..., 1]
-    bb = _RIGID_BB if B % _RIGID_BB == 0 else 1
-    spec = pl.BlockSpec((bb, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    bb, qb, qpad = _rigid_blocks(B, Q)
+    if qpad:
+        pad3 = ((0, 0), (0, qpad), (0, 0))
+        px = jnp.pad(px, pad3)
+        py = jnp.pad(py, pad3)
+        idx = jnp.pad(idx, pad3)
+        # padded g rows are zero -> zero routing weight; dist pads with 1
+        # to keep the g/dist division finite
+        dist = jnp.pad(dist, pad3, constant_values=1.0)
+        g = jnp.pad(g, pad3)
+    Qp = Q + qpad
+    spec = pl.BlockSpec((bb, qb, P), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM)
     gx, gy = pl.pallas_call(
         _rigid_bwd_kernel,
-        grid=(B // bb,),
+        grid=(B // bb, Qp // qb),
         in_specs=[spec] * 5,
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Q, P), jnp.float32),
-            jax.ShapeDtypeStruct((B, Q, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, Qp, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, Qp, P), jnp.float32),
         ],
         interpret=interpret,
     )(px, py, idx, dist, g)
-    return jnp.stack([gx, gy], axis=-1)
+    return jnp.stack([gx, gy], axis=-1)[:, :Q]
 
 
 # ---------------------------------------------------------------------------

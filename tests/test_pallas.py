@@ -90,7 +90,14 @@ def test_drivable_gather_pallas_matches_ref():
     )
     ref = drivable_gather_ref(pix, drv)
     out = drivable_gather_pallas(pix, drv, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    # map values round to bf16 inside the kernel (exact for 0/1 masks,
+    # sign-preserving in general — consumers threshold at <= 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=4e-3)
+    # exact on binary drivable masks (the production input)
+    drv01 = (drv > 0.5).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(drivable_gather_pallas(pix, drv01, interpret=True)),
+        np.asarray(drivable_gather_ref(pix, drv01)), rtol=0)
 
 
 def test_rigid_min_and_bwd_pallas_match_ref():
