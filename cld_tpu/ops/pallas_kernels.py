@@ -96,62 +96,76 @@ def drivable_gather_ref(pix: jnp.ndarray, drivable: jnp.ndarray) -> jnp.ndarray:
     return drivable[b, pix[..., 1], pix[..., 0]]
 
 
-def _drivable_gather_kernel(pix_ref, map_ref, out_ref):
-    b = pl.program_id(0)
-    q = pl.program_id(1)
-    m = map_ref[0]  # [H, W] bf16
-    H, W = m.shape
-    p = pix_ref[0, 0]  # [TILE, 2]
-    rows = p[:, 1:2]
-    cols = p[:, 0:1]
-    # row-select as a one-hot matmul (MXU), column-select as a lane mask —
-    # TPU-native replacement for the irregular gather. The one-hot and the
-    # (binarizable) map multiply exactly in bf16, which runs the MXU at
-    # full rate — the f32 variant was ~4x the FLOP time for identical
-    # results on 0/1-valued drivable maps.
-    oh = (
-        jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], H), 1) == rows
-    ).astype(jnp.bfloat16)
-    g = jnp.dot(oh, m, preferred_element_type=jnp.float32)  # [TILE, W]
-    cm = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], W), 1) == cols
-    vals = jnp.sum(jnp.where(cm, g, 0.0), axis=1)  # [TILE]
-    # out is one whole-array VMEM block (TPU block-tiling constraint: the
-    # per-(b, q) tile (1, TILE) is not a legal block shape)
-    out_ref[pl.ds(b, 1), pl.ds(q * _GATHER_TILE, _GATHER_TILE)] = vals[None]
+_GATHER_AB = 8  # agents per program (Mosaic sublane block granularity)
+
+
+def _drivable_gather_kernel(rows_ref, cols_ref, mapt_ref, out_ref):
+    """Lane-major one-hot gather: everything lives with the point axis in
+    lanes, so no in-kernel transposes or dynamic stores exist.
+
+    rows/cols [AB, QC] int32 point coords; mapt [AB, W, H] TRANSPOSED maps.
+    Per agent: onehot_T[h, p] = (h == row_p) broadcasts the row vector down
+    sublanes for free; g_T = map_T @ onehot_T fetches each point's column
+    on the MXU (bf16 — exact for 0/1 drivable masks, sign-preserving in
+    general, consumers threshold at <= 0); a sublane-masked reduce selects
+    the point's row. vals land as a lane vector and store statically.
+    """
+    AB, QC = rows_ref.shape
+    _, W, H = mapt_ref.shape
+    ih = jax.lax.broadcasted_iota(jnp.int32, (H, QC), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, QC), 0)
+    for a in range(AB):
+        mt = mapt_ref[a]  # [W, H]
+        oh = (ih == rows_ref[a : a + 1, :]).astype(jnp.bfloat16)  # [H, QC]
+        g = jnp.dot(mt.astype(jnp.bfloat16), oh, preferred_element_type=jnp.float32)
+        cm = iw == cols_ref[a : a + 1, :]
+        out_ref[a, :] = jnp.sum(jnp.where(cm, g, 0.0), axis=0)  # [QC]
 
 
 def drivable_gather_pallas(
     pix: jnp.ndarray, drivable: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
-    """Pallas version of drivable_gather_ref: grid (B, Q/TILE), each tile a
-    one-hot-matmul row select + masked column reduce, fully VMEM-resident.
-
-    Map values round to bf16 on the way through the MXU — exact for 0/1
-    drivable masks, and sign-preserving for arbitrary values (the consumers
-    threshold at <= 0)."""
+    """Pallas version of drivable_gather_ref: 2-D grid (B/AB, Q/QC). The
+    transposed map block's index map is q-invariant, so AB agents' maps
+    stay VMEM-resident while point/output blocks stream. The map transpose
+    happens in XLA outside the kernel — it depends only on the (sampling-
+    scan-invariant) drivable map, so XLA hoists it out of the denoise loop."""
     B, Q, _ = pix.shape
     _, H, W = drivable.shape
-    pad = (-Q) % _GATHER_TILE
-    if pad:
-        pix = jnp.pad(pix, ((0, 0), (0, pad), (0, 0)))
-    Qp = Q + pad
-    nq = Qp // _GATHER_TILE
-    pixr = pix.reshape(B, nq, _GATHER_TILE, 2)
+    # chunk of 2048 points per program step (4 x 512-lane groups); shorter
+    # point lists run as a single chunk padded to the 512 granularity
+    qc = 2048 if Q >= 2048 else Q + ((-Q) % _GATHER_TILE)
+    qpad = (-Q) % qc
+    if qpad:
+        pix = jnp.pad(pix, ((0, 0), (0, qpad), (0, 0)))
+    Qp = Q + qpad
+    if B < _GATHER_AB:
+        ab, bpad = B, 0
+    else:
+        ab = _GATHER_AB
+        bpad = (-B) % _GATHER_AB
+        if bpad:
+            pix = jnp.pad(pix, ((0, bpad), (0, 0), (0, 0)))
+            drivable = jnp.pad(drivable, ((0, bpad), (0, 0), (0, 0)))
+    Bp = B + bpad
+    rows = pix[..., 1]
+    cols = pix[..., 0]
+    mapt = jnp.swapaxes(drivable, 1, 2).astype(jnp.bfloat16)
+    pt_spec = pl.BlockSpec((ab, qc), lambda b, q: (b, q), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _drivable_gather_kernel,
-        grid=(B, nq),
+        grid=(Bp // ab, Qp // qc),
         in_specs=[
-            pl.BlockSpec((1, 1, _GATHER_TILE, 2), lambda b, q: (b, q, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda b, q: (b, 0, 0),
+            pt_spec,
+            pt_spec,
+            pl.BlockSpec((ab, W, H), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, Qp), lambda b, q: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Qp), jnp.float32),
+        out_specs=pt_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Qp), jnp.float32),
         interpret=interpret,
-    )(pixr, drivable.astype(jnp.bfloat16))
-    return out[:, :Q]
+    )(rows, cols, mapt)
+    return out[:B, :Q]
 
 
 # ---------------------------------------------------------------------------
