@@ -271,6 +271,10 @@ def main():
     parser.add_argument("--guidance-stride", type=int, default=1,
                         help="apply guidance every k-th denoise step")
     parser.add_argument("--perturb-th", type=float, default=1.0)
+    parser.add_argument("--cle-report", action="store_true",
+                        help="append a closed-loop-evaluator validation "
+                             "summary (range validators + driven-miles "
+                             "composites, cld_tpu.eval.cle) to the metrics")
     parser.add_argument("--ebm-ckpt", type=str, default=None,
                         help="trained PermuteEBM checkpoint (train.py --mode "
                              "ebm); adds the learned closed-loop realism "
@@ -398,6 +402,13 @@ def main():
         occupancy_metrics(occ, pack.world_map[0, :, :, 0], pack.map_origin[0],
                           pack.map_resolution)
     )
+
+    if args.cle_report:
+        # l5kit-CLE-style validation: range validators with violation-
+        # duration semantics + driven-miles composites over the rollout log
+        from cld_tpu.eval.cle import cle_report
+
+        metrics["cle"] = cle_report(pack, traj, sim_cfg)
 
     if args.ebm_ckpt:
         # learned realism metric over the executed rollout
