@@ -200,6 +200,41 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
     return BATCH * NUM_SAMP * N_STEPS * iters / elapsed
 
 
+def bench_train_steps(cfg, dm_trainer, dm_state, batch):
+    """Training throughput (steps/s at batch 128): the VAE and DM stage
+    train steps, jitted end-to-end — the BASELINE.json config-5 story
+    (the reference trains at '16-mixed' on one GPU; both stages here are
+    one fused XLA program per step)."""
+    from cld_tpu.training.vae import VAETrainer
+
+    results = {}
+    vae_trainer = VAETrainer(cfg)
+    t0 = time.perf_counter()
+    vae_state = vae_trainer.init_state(jax.random.key(3), batch)
+    step = vae_trainer.train_step  # already jitted
+    vae_state, m = step(vae_state, batch, jax.random.key(4))
+    jax.block_until_ready(m["loss"])
+    log(f"vae train step compiled+warm in {time.perf_counter() - t0:.1f}s")
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        vae_state, m = step(vae_state, batch, jax.random.key(5 + i))
+    jax.block_until_ready(m["loss"])
+    results["vae_train_steps_per_sec"] = round(iters / (time.perf_counter() - t0), 2)
+
+    t0 = time.perf_counter()
+    dstep = dm_trainer.train_step  # already jitted
+    dm_state2, m = dstep(dm_state, batch, jax.random.key(6))
+    jax.block_until_ready(m["loss"])
+    log(f"dm train step compiled+warm in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(iters):
+        dm_state2, m = dstep(dm_state2, batch, jax.random.key(7 + i))
+    jax.block_until_ready(m["loss"])
+    results["dm_train_steps_per_sec"] = round(iters / (time.perf_counter() - t0), 2)
+    return results
+
+
 def bench_closed_loop(cfg, dm_trainer, dm_state):
     """Guided closed-loop sim throughput (agent-steps/s): the second
     BASELINE.json north-star metric, on the same flagship guidance."""
@@ -303,6 +338,9 @@ def main():
             unguided_nfe / REFERENCE_UNGUIDED_NFE_PER_SEC_ESTIMATE, 3
         ),
     }
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        extras.update(bench_train_steps(cfg, dm_trainer, dm_state, batch))
+        log(f"train-step throughput: {extras}")
     if not SKIP_CLOSED_LOOP:
         cl_rate, cl_wall = bench_closed_loop(cfg, dm_trainer, dm_state)
         log(f"closed-loop agent-steps/s = {cl_rate:.0f} (wall {cl_wall:.2f}s)")

@@ -112,14 +112,19 @@ def _drivable_gather_kernel(rows_ref, cols_ref, mapt_ref, out_ref):
     """
     AB, QC = rows_ref.shape
     _, W, H = mapt_ref.shape
+    int8_maps = mapt_ref.dtype == jnp.int8
+    mm_dtype = jnp.int8 if int8_maps else jnp.bfloat16
+    acc_dtype = jnp.int32 if int8_maps else jnp.float32
     ih = jax.lax.broadcasted_iota(jnp.int32, (H, QC), 0)
     iw = jax.lax.broadcasted_iota(jnp.int32, (W, QC), 0)
     for a in range(AB):
         mt = mapt_ref[a]  # [W, H]
-        oh = (ih == rows_ref[a : a + 1, :]).astype(jnp.bfloat16)  # [H, QC]
-        g = jnp.dot(mt.astype(jnp.bfloat16), oh, preferred_element_type=jnp.float32)
+        oh = (ih == rows_ref[a : a + 1, :]).astype(mm_dtype)  # [H, QC]
+        g = jnp.dot(mt.astype(mm_dtype), oh, preferred_element_type=acc_dtype)
         cm = iw == cols_ref[a : a + 1, :]
-        out_ref[a, :] = jnp.sum(jnp.where(cm, g, 0.0), axis=0)  # [QC]
+        out_ref[a, :] = jnp.sum(
+            jnp.where(cm, g.astype(jnp.float32), 0.0), axis=0
+        )  # [QC]
 
 
 def drivable_gather_pallas(
@@ -150,7 +155,10 @@ def drivable_gather_pallas(
     Bp = B + bpad
     rows = pix[..., 1]
     cols = pix[..., 0]
-    mapt = jnp.swapaxes(drivable, 1, 2).astype(jnp.bfloat16)
+    # int8 maps keep their dtype (MXU int8 path, exact); others go bf16
+    mapt = jnp.swapaxes(drivable, 1, 2)
+    if mapt.dtype != jnp.int8:
+        mapt = mapt.astype(jnp.bfloat16)
     pt_spec = pl.BlockSpec((ab, qc), lambda b, q: (b, q), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _drivable_gather_kernel,

@@ -98,6 +98,12 @@ def test_drivable_gather_pallas_matches_ref():
     np.testing.assert_allclose(
         np.asarray(drivable_gather_pallas(pix, drv01, interpret=True)),
         np.asarray(drivable_gather_ref(pix, drv01)), rtol=0)
+    # int8 maps take the MXU int8 path (the MapCollisionLoss production
+    # input: binarized drivable), also exact
+    drv8 = (drv > 0.5).astype(jnp.int8)
+    np.testing.assert_allclose(
+        np.asarray(drivable_gather_pallas(pix, drv8, interpret=True)),
+        np.asarray(drivable_gather_ref(pix, drv01)), rtol=0)
 
 
 def test_rigid_min_and_bwd_pallas_match_ref():
