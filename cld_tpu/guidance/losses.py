@@ -140,6 +140,39 @@ _min_dist_rigid.defvjp(_min_dist_rigid_fwd, _min_dist_rigid_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _min_dist_rigid_fused(pts, d2_local, onroad, interpret=False):
+    """Optional pallas forward of the rigid masked min (min_fwd_impl=
+    "fused"): the 1-D-grid kernel (ops/pallas_kernels.rigid_min_fused_pallas)
+    keeps the [bb, P, P] cache VMEM-resident and sweeps the horizon
+    in-kernel, so the [B, Q, P, P] masked tensor never exists in HBM.
+    Measured SLOWER than the jnp path on v5e at bench scale (1.16 vs
+    0.90 ms loss_vg, scripts/micro_map_combos.py): XLA already fuses the
+    broadcast into the reduces, and the kernel's per-program horizon sweep
+    is sequential. Kept as a selectable experiment for other shapes.
+    Backward stays the analytic jnp one-hot routing (cheap: ~0.1 ms).
+
+    pts [B, Q, P, 2] (bwd only), d2_local [B, P, P], onroad [B, Q, P]."""
+    from cld_tpu.ops.pallas_kernels import rigid_min_fused_pallas
+
+    d, _ = rigid_min_fused_pallas(d2_local, onroad, interpret=interpret)
+    return d
+
+
+def _min_dist_rigid_fused_fwd(pts, d2_local, onroad, interpret):
+    from cld_tpu.ops.pallas_kernels import rigid_min_fused_pallas
+
+    d, idx = rigid_min_fused_pallas(d2_local, onroad, interpret=interpret)
+    return d, (pts, idx, d)
+
+
+def _min_dist_rigid_fused_bwd(interpret, res, g):
+    return _min_dist_rigid_bwd(res, g)
+
+
+_min_dist_rigid_fused.defvjp(_min_dist_rigid_fused_fwd, _min_dist_rigid_fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _min_dist_rigid_pallas(pts, d2_local, onroad, interpret=False):
     """Pallas twin of _min_dist_rigid over the FULL horizon at once: the
     pose-invariant distance cache and the one-hot backward routing live only
@@ -424,7 +457,8 @@ class MapCollisionLoss:
     guide_moving_speed_th: float = 0.5
     # drivable-map lookup: "auto" (pallas one-hot-matmul kernel on TPU —
     # ~5 ms/denoise-step faster than the fancy-index gather at B=128 —
-    # plain jnp gather elsewhere), or force "jnp" / "pallas"
+    # plain jnp gather elsewhere), or force "jnp" / "pallas" (bit-packed
+    # one-hot matmul) / "pallas_px" (unpacked int8 one-hot matmul)
     gather_impl: str = "auto"
     # min-distance kernel (all numerically equivalent):
     #   "rigid"       pose-invariant P x P distance cache hoisted out of the
@@ -436,6 +470,13 @@ class MapCollisionLoss:
     #   "rigid_pallas" fully VMEM-resident pallas fwd/bwd of "rigid";
     #   "pairwise"    direct P x P distances (checkpointed)
     min_dist_impl: str = "rigid"
+    # forward of the full-horizon "rigid" masked min: "jnp" (XLA fuses the
+    # [B, Q, P, P] broadcast into the min/argmin reduces — measured fastest
+    # on v5e, 0.90 vs 1.16 ms/step for the pallas kernel at bench scale,
+    # scripts/micro_map_combos.py) or "fused" (1-D-grid pallas kernel that
+    # sweeps the horizon in-kernel; loses to XLA's fusion because the
+    # per-program sweep is sequential). "auto" = "jnp".
+    min_fwd_impl: str = "auto"
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
         B, N, T, _ = x.shape
@@ -471,15 +512,26 @@ class MapCollisionLoss:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
         if impl == "pallas":
+            from cld_tpu.ops.pallas_kernels import drivable_bit_gather_pallas
+
+            pixq = jnp.stack([col, row], axis=-1).reshape(B, N * T * P, 2)
+            # only the on/off-road bit is consumed, so the map binarizes and
+            # bit-packs 8 columns/byte up front (sampling-scan-invariant —
+            # hoists out of the denoise loop) and the one-hot matmul fetches
+            # packed bytes: 8x fewer int8 MACs than gathering raw pixels
+            vals = drivable_bit_gather_pallas(
+                pixq, ctx.drivable_map,
+                interpret=jax.default_backend() != "tpu",
+            )
+            offroad = vals.reshape(B, N, T, P) <= 0
+        elif impl == "pallas_px":
             from cld_tpu.ops.pallas_kernels import drivable_gather_pallas
 
             pixq = jnp.stack([col, row], axis=-1).reshape(B, N * T * P, 2)
-            # only the <=0 classification is consumed, so the map binarizes
-            # to int8 up front — the gather's one-hot matmul then runs the
-            # MXU's int8 path (2x the bf16 rate); the binarization is
-            # sampling-scan-invariant and hoists out of the denoise loop
             drv8 = (ctx.drivable_map > 0).astype(jnp.int8)
-            vals = drivable_gather_pallas(pixq, drv8)
+            vals = drivable_gather_pallas(
+                pixq, drv8, interpret=jax.default_backend() != "tpu"
+            )
             offroad = vals.reshape(B, N, T, P) <= 0
         else:
             b_idx = jnp.arange(B).reshape(B, 1, 1, 1)
@@ -567,10 +619,18 @@ class MapCollisionLoss:
                 d2_local = jnp.sum(
                     (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
                 )
-                min_dist = _min_dist_rigid(
-                    agt_pts.reshape(B, N * T, P, 2), d2_local[:, None],
-                    (~offroad).reshape(B, N * T, P),
-                ).reshape(B, N, T, P)
+                if self.min_fwd_impl == "fused":
+                    # fused pallas forward: no [B, Q, P, P] HBM transient
+                    min_dist = _min_dist_rigid_fused(
+                        agt_pts.reshape(B, N * T, P, 2), d2_local,
+                        (~offroad).reshape(B, N * T, P),
+                        jax.default_backend() != "tpu",
+                    ).reshape(B, N, T, P)
+                else:
+                    min_dist = _min_dist_rigid(
+                        agt_pts.reshape(B, N * T, P, 2), d2_local[:, None],
+                        (~offroad).reshape(B, N * T, P),
+                    ).reshape(B, N, T, P)
                 pt_loss = 1.0 - min_dist / diag_len[:, None, None, None]
                 has_onroad = jnp.any(~offroad, axis=-1, keepdims=True)
                 pt_loss = jnp.where(offroad & has_onroad, pt_loss, 0.0)

@@ -176,6 +176,93 @@ def drivable_gather_pallas(
     return out[:B, :Q]
 
 
+def _bit_gather_kernel(rows_ref, cols_ref, mapt_ref, out_ref):
+    """Bit-packed variant of the lane-major one-hot gather: the binary map
+    is packed 8 columns/byte along W, so the one-hot matmul fetches a
+    [W/8, QC] tile of packed bytes — 8x fewer MACs and an 8x smaller
+    column-select than the unpacked kernel — and the point's bit is peeled
+    with a shift/mask on the VPU.
+
+    rows/cols [AB, QC] int32 point coords; mapt [AB, W8, H] int8 packed
+    TRANSPOSED maps (byte w8 of row h holds map[h, 8*w8 : 8*w8+8], LSB
+    first). Output [AB, QC] f32 in {0, 1}.
+    """
+    AB, QC = rows_ref.shape
+    _, W8, H = mapt_ref.shape
+    ih = jax.lax.broadcasted_iota(jnp.int32, (H, QC), 0)
+    iw8 = jax.lax.broadcasted_iota(jnp.int32, (W8, QC), 0)
+    for a in range(AB):
+        mt = mapt_ref[a]  # [W8, H] int8 (packed bytes, sign-reinterpreted)
+        oh = (ih == rows_ref[a : a + 1, :]).astype(jnp.int8)  # [H, QC]
+        g = jnp.dot(mt, oh, preferred_element_type=jnp.int32)  # [W8, QC]
+        cm = iw8 == jax.lax.shift_right_logical(cols_ref[a : a + 1, :], 3)
+        word = jnp.sum(jnp.where(cm, g, 0), axis=0)[None, :]  # [1, QC]
+        bit = jax.lax.shift_right_logical(
+            word & 0xFF, cols_ref[a : a + 1, :] & 7
+        ) & 1
+        out_ref[a, :] = bit[0].astype(jnp.float32)
+
+
+def pack_drivable_bits(drivable: jnp.ndarray) -> jnp.ndarray:
+    """Binarize (> 0) a [B, H, W] drivable map and pack 8 W-columns per int8
+    byte (LSB first): [B, H, ceil(W/8)]. Pure XLA; depends only on the map,
+    so it hoists out of any sampling scan."""
+    B, H, W = drivable.shape
+    wpad = (-W) % 8
+    bits = (drivable > 0).astype(jnp.int32)
+    if wpad:
+        bits = jnp.pad(bits, ((0, 0), (0, 0), (0, wpad)))
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    packed = jnp.sum(bits.reshape(B, H, -1, 8) * weights, axis=-1)
+    return packed.astype(jnp.int8)  # bytes >= 128 wrap to negative: bit
+    # patterns survive the reinterpret; the kernel masks with & 0xFF
+
+
+def drivable_bit_gather_pallas(
+    pix: jnp.ndarray, drivable: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """On-road bit per query point: pix [B, Q, 2] int32 (col, row,
+    pre-clamped), drivable [B, H, W] (any dtype; on-road = value > 0)
+    -> [B, Q] f32 in {0, 1}. Same grid/blocking as drivable_gather_pallas
+    but on the 8x-packed map."""
+    B, Q, _ = pix.shape
+    _, H, W = drivable.shape
+    packed = pack_drivable_bits(drivable)  # [B, H, W8]
+    W8 = packed.shape[-1]
+    qc = 2048 if Q >= 2048 else Q + ((-Q) % _GATHER_TILE)
+    qpad = (-Q) % qc
+    if qpad:
+        pix = jnp.pad(pix, ((0, 0), (0, qpad), (0, 0)))
+    Qp = Q + qpad
+    if B < _GATHER_AB:
+        ab, bpad = B, 0
+    else:
+        ab = _GATHER_AB
+        bpad = (-B) % _GATHER_AB
+        if bpad:
+            pix = jnp.pad(pix, ((0, bpad), (0, 0), (0, 0)))
+            packed = jnp.pad(packed, ((0, bpad), (0, 0), (0, 0)))
+    Bp = B + bpad
+    rows = pix[..., 1]
+    cols = pix[..., 0]
+    mapt = jnp.swapaxes(packed, 1, 2)  # [Bp, W8, H]
+    pt_spec = pl.BlockSpec((ab, qc), lambda b, q: (b, q), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _bit_gather_kernel,
+        grid=(Bp // ab, Qp // qc),
+        in_specs=[
+            pt_spec,
+            pt_spec,
+            pl.BlockSpec((ab, W8, H), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pt_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Qp), jnp.float32),
+        interpret=interpret,
+    )(rows, cols, mapt)
+    return out[:B, :Q]
+
+
 # ---------------------------------------------------------------------------
 # rigid map-collision min-distance: masked min over a pose-invariant P x P
 # distance cache + analytic argmin-routed backward, fully VMEM-resident
@@ -216,6 +303,73 @@ def _rigid_blocks(B: int, Q: int):
         return bb, Q, 0
     qpad = (-Q) % _RIGID_QB
     return bb, _RIGID_QB, qpad
+
+
+def _rigid_min_fused_kernel(d2_ref, onroad_ref, dist_ref, idx_ref):
+    """Whole-horizon rigid masked-min: one program per bb-agent block, the
+    [bb, P, P] distance cache VMEM-resident, an in-kernel fori_loop
+    sweeping the horizon one step at a time — so the largest live tile is
+    [bb, P, P] and the grid stays tiny (B/bb programs total, vs B*Q/64 for
+    the blocked variant whose per-program overhead dominated).
+
+    The horizon is the LEADING axis of onroad/dist/idx ([Q, bb, P]): Mosaic
+    lowers dynamic indexing on a middle axis of a 3-D ref to an unsupported
+    >2-D gather, while a leading-axis pl.ds slice is a plain tile load.
+
+    d2 [bb, P, P] f32 (symmetric), onroad [Q, bb, P] f32 -> dist/idx
+    [Q, bb, P]."""
+    big = 1e12
+    Q, BB, P = onroad_ref.shape
+    d2 = d2_ref[...]  # resident across the whole sweep
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BB, P, P), 1)
+
+    def step(q, _):
+        on_q = jnp.reshape(onroad_ref[pl.ds(q, 1)], (BB, P, 1))
+        # mask live rows i (axis -2); d2 is symmetric so row/col masking
+        # are interchangeable — keep i in sublanes for the reduce.
+        # NOTE: explicit reshapes, not mixed int/None advanced indexing —
+        # the latter routes through jnp's gather path, which Mosaic only
+        # lowers for 2-D operands.
+        masked = jnp.where(on_q > 0, d2, big)  # [BB, P, P]
+        mn = jnp.min(masked, axis=-2)  # [BB, P]
+        ix = jnp.min(
+            jnp.where(masked == jnp.reshape(mn, (BB, 1, P)), iota, P), axis=-2
+        ).astype(jnp.int32)
+        dist_ref[pl.ds(q, 1)] = jnp.reshape(jnp.sqrt(mn + 1e-12), (1, BB, P))
+        idx_ref[pl.ds(q, 1)] = jnp.reshape(ix, (1, BB, P))
+        return 0
+
+    jax.lax.fori_loop(0, Q, step, 0)
+
+
+def rigid_min_fused_pallas(
+    d2_local: jnp.ndarray, onroad: jnp.ndarray, interpret: bool = False
+):
+    """Pallas forward of rigid_min_ref with a 1-D grid (B/bb programs).
+    d2_local [B, P, P], onroad [B, Q, P] -> (dist [B, Q, P], idx [B, Q, P]).
+    """
+    B, P, _ = d2_local.shape
+    Q = onroad.shape[1]
+    # [bb, P, P] cache + [Q, bb, P] mask + two [Q, bb, P] outputs stay in
+    # VMEM: cap the onroad block at ~3M f32 elements (bb=32 at the rollout
+    # scale Q=52, P=100 sits ~6 MB total); larger Q shrinks the block
+    bb = _pick_block(B, max(1, min(32, (3 << 20) // max(Q * P, 1))))
+    qbp = pl.BlockSpec((Q, bb, P), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+    dist, idx = pl.pallas_call(
+        _rigid_min_fused_kernel,
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, P, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            qbp,
+        ],
+        out_specs=[qbp, qbp],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, B, P), jnp.float32),
+            jax.ShapeDtypeStruct((Q, B, P), jnp.int32),
+        ],
+        interpret=interpret,
+    )(d2_local, jnp.swapaxes(onroad, 0, 1).astype(jnp.float32))
+    return jnp.swapaxes(dist, 0, 1), jnp.swapaxes(idx, 0, 1)
 
 
 def _rigid_min_kernel(d2_ref, onroad_ref, dist_ref, idx_ref):

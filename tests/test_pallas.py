@@ -106,6 +106,32 @@ def test_drivable_gather_pallas_matches_ref():
         np.asarray(drivable_gather_ref(pix, drv01)), rtol=0)
 
 
+def test_drivable_bit_gather_pallas_matches_ref():
+    """Bit-packed one-hot gather == binarized fancy-index reference, exact,
+    incl. W not divisible by 8 and bytes with the high bit set."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cld_tpu.ops.pallas_kernels import (
+        drivable_bit_gather_pallas,
+        drivable_gather_ref,
+        pack_drivable_bits,
+    )
+
+    rng = np.random.default_rng(4)
+    for (B, Q, H, W) in [(3, 777, 96, 96), (2, 100, 60, 93)]:
+        drv = jnp.asarray(rng.random((B, H, W)) - 0.3, jnp.float32)
+        pix = jnp.asarray(
+            np.stack([rng.integers(0, W, (B, Q)), rng.integers(0, H, (B, Q))], -1),
+            jnp.int32,
+        )
+        want = (np.asarray(drivable_gather_ref(pix, drv)) > 0).astype(np.float32)
+        got = np.asarray(drivable_bit_gather_pallas(pix, drv, interpret=True))
+        np.testing.assert_array_equal(got, want)
+    # packing round-trip: byte 255 (all on) survives the int8 reinterpret
+    allon = jnp.ones((1, 8, 8), jnp.float32)
+    assert int(pack_drivable_bits(allon)[0, 0, 0]) == -1  # 0xFF as int8
+
+
 def test_rigid_min_and_bwd_pallas_match_ref():
     """VMEM-resident rigid map-collision kernels == jnp references
     (distances exact, argmin distance-consistent, analytic backward)."""
@@ -140,6 +166,28 @@ def test_rigid_min_and_bwd_pallas_match_ref():
         rtol=1e-4, atol=1e-5)
 
 
+def test_rigid_min_fused_pallas_matches_ref():
+    """1-D-grid fused rigid masked-min == jnp reference (distances exact,
+    argmin tie-broken to the lowest live row like jnp.argmin), incl. a
+    non-divisible B and an all-off-road column."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cld_tpu.ops.pallas_kernels import rigid_min_fused_pallas, rigid_min_ref
+
+    rng = np.random.default_rng(1)
+    for (B, Q, P) in [(3, 13, 24), (5, 7, 16)]:
+        pts_local = jnp.asarray(rng.normal(0, 2, (B, P, 2)), jnp.float32)
+        d2 = jnp.sum((pts_local[:, :, None] - pts_local[:, None]) ** 2, -1)
+        on = np.asarray(rng.random((B, Q, P)) > 0.4)
+        on[0, 0] = False  # all-off-road step: dist=sqrt(BIG), idx=0 both paths
+        on = jnp.asarray(on)
+        d_ref, i_ref = rigid_min_ref(d2, on.astype(jnp.float32))
+        d_pal, i_pal = rigid_min_fused_pallas(d2, on, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(d_ref), np.asarray(d_pal), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pal))
+
+
 def test_map_collision_rigid_pallas_matches_pairwise():
     """End-to-end: MapCollisionLoss(min_dist_impl='rigid_pallas') equals the
     pairwise path in values and gradients."""
@@ -166,4 +214,34 @@ def test_map_collision_rigid_pallas_matches_pairwise():
                                rtol=1e-4, atol=1e-5)
     g1 = jax.grad(lambda v: pair(v, ctx).sum())(x)
     g2 = jax.grad(lambda v: rp(v, ctx).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-5)
+
+
+def test_map_collision_fused_and_bit_gather_match_pairwise():
+    """End-to-end: the TPU fast path (bit-packed drivable gather +
+    selectable fused masked-min forward) equals the pairwise jnp path in
+    values and gradients (interpret mode on CPU)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cld_tpu.data.synthetic import synthetic_batch
+    from cld_tpu.guidance.losses import GuidanceContext, MapCollisionLoss
+    from cld_tpu.ops.geometry import world_from_agent_matrix
+
+    B = 3
+    batch = synthetic_batch(seed=0, batch_size=B, raster_size=64)
+    ctx = GuidanceContext(
+        drivable_map=batch.drivable_map, raster_from_agent=batch.raster_from_agent,
+        extent=batch.extent, curr_speed=batch.curr_speed,
+        world_from_agent=world_from_agent_matrix(jnp.zeros((B, 2)), jnp.zeros((B,))),
+        scene_index=jnp.zeros((B,), jnp.int32))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 8.0, (B, 2, 52, 6)), jnp.float32)
+    x = x.at[..., 3].set(jnp.asarray(rng.uniform(-3, 3, (B, 2, 52)), jnp.float32))
+    ref = MapCollisionLoss(min_dist_impl="pairwise")
+    fast = MapCollisionLoss(gather_impl="pallas", min_fwd_impl="fused")
+    np.testing.assert_allclose(np.asarray(ref(x, ctx)), np.asarray(fast(x, ctx)),
+                               rtol=1e-4, atol=1e-5)
+    g1 = jax.grad(lambda v: ref(v, ctx).sum())(x)
+    g2 = jax.grad(lambda v: fast(v, ctx).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-5)
