@@ -66,6 +66,10 @@ SKIP_CLOSED_LOOP = os.environ.get("BENCH_SKIP_CLOSED_LOOP", "0") == "1"
 # steady-state throughput (per-step loop overhead amortized, cross-step
 # fusion). Compile on the axon tunnel grows with the unrolled body.
 UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
+# decoder impl for the guidance decode indirection: "auto" routes to the
+# fused pallas LSTM stack on TPU (ops/lstm_pallas.py), "flax" to the
+# module scan (A/B knob)
+DECODE_IMPL = os.environ.get("BENCH_DECODE_IMPL", "auto")
 CL_SCENES = int(os.environ.get("BENCH_CL_SCENES", 4))
 CL_AGENTS = int(os.environ.get("BENCH_CL_AGENTS", 8))  # per scene
 CL_STEPS = int(os.environ.get("BENCH_CL_STEPS", 100))
@@ -128,7 +132,10 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
     from cld_tpu.data.batch import get_current_states
     from cld_tpu.guidance.losses import GuidanceContext
     from cld_tpu.guidance.perturbation import make_perturbation_guidance
-    from cld_tpu.models.vae import convert_action_to_state_and_action
+    from cld_tpu.models.vae import (
+        convert_action_to_state_and_action,
+        decode_actions,
+    )
     from cld_tpu.ops.dynamics import UnicycleParams
     from cld_tpu.ops.geometry import world_from_agent_matrix
     from cld_tpu.ops.normalization import TrajNormalizer
@@ -154,8 +161,9 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
         curr = get_current_states(batch)
 
         def decode_fn(z):
-            acts = dm_trainer.vae.apply(
-                dm_trainer.vae_variables, z, aux["cond_feat"], method="decode"
+            acts = decode_actions(
+                dm_trainer.vae, dm_trainer.vae_variables, z, aux["cond_feat"],
+                impl=DECODE_IMPL,
             )
             traj = convert_action_to_state_and_action(
                 acts, curr, dyn, normalizer, descaled_output=True
@@ -242,7 +250,10 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
     from cld_tpu.data.batch import get_current_states
     from cld_tpu.guidance.losses import GuidanceContext
     from cld_tpu.guidance.perturbation import make_perturbation_guidance
-    from cld_tpu.models.vae import convert_action_to_state_and_action
+    from cld_tpu.models.vae import (
+        convert_action_to_state_and_action,
+        decode_actions,
+    )
     from cld_tpu.ops.dynamics import UnicycleParams
     from cld_tpu.ops.normalization import TrajNormalizer
     from cld_tpu.sim.env import SimConfig, simulate
@@ -271,8 +282,9 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
         curr = get_current_states(obs)
 
         def decode_fn(z):
-            acts = dm_trainer.vae.apply(
-                dm_trainer.vae_variables, z, aux["cond_feat"], method="decode"
+            acts = decode_actions(
+                dm_trainer.vae, dm_trainer.vae_variables, z, aux["cond_feat"],
+                impl=DECODE_IMPL,
             )
             traj = convert_action_to_state_and_action(
                 acts, curr, dyn, normalizer, descaled_output=True

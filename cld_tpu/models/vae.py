@@ -145,3 +145,16 @@ class VaeModel(nn.Module):
     def decode(self, z: jnp.ndarray, cond_feat: jnp.ndarray, train: bool = False):
         """Latents -> scaled action sequence."""
         return self.lstmvae.decode(z, cond_feat, deterministic=not train)
+
+
+def decode_actions(vae, variables, z, cond_feat, impl: str = "auto"):
+    """Latents -> scaled actions through either the flax module
+    (``impl="flax"``) or the fused pallas LSTM stack (ops/lstm_pallas.py;
+    ``"auto"`` = pallas on TPU, jnp scan elsewhere). The fused path is
+    VJP-exact in every argument, so callers that differentiate through the
+    decoder (guidance perturbation, latent PPO) can use it unchanged."""
+    if impl == "flax":
+        return vae.apply(variables, z, cond_feat, method="decode")
+    from cld_tpu.ops.lstm_pallas import fused_decode_actions
+
+    return fused_decode_actions(variables, z, cond_feat, impl=impl)

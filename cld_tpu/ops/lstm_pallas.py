@@ -1,0 +1,449 @@
+"""Fused 2-layer LSTM decoder for TPU (pallas).
+
+The guided sampler evaluates the VAE decoder — and its VJP — inside every
+denoise step (`guidance/perturbation.py` decode indirection; reference
+`models/vae/lstm_vae.py:28-51` LSTMDecoder). Under XLA the decoder lowers to
+104 sequential [B, 64] cell matmuls (2 layers x T=52) whose per-iteration
+overhead dominates: the cells are far too small to feed the MXU from HBM.
+
+This module fuses the whole stack into two pallas kernels:
+
+* forward: one program per batch block sweeps all T steps with the weights
+  and the running (h, c) carries VMEM-resident; the input projection
+  ``z @ Wx1 + b1`` is hoisted OUT of the kernel into a single [B*T, L]
+  MXU matmul (it has no sequential dependence);
+* backward: reverse sweep that recomputes the gate activations from the
+  saved (h, c) sequences (2 extra tiny matmuls/step beats storing the
+  [T, B, 4H] gate tensors, which would blow VMEM), and emits only the
+  pre-activation gate cotangents ``dgates``. Everything else — dz, dcond,
+  and ALL weight gradients — falls out of ``dgates`` as large batched
+  matmuls outside the kernel:
+
+      dxg1 = dgates1                          (xg1 enters additively)
+      dz   = dgates1 @ Wx1^T                  (chained by JAX: xg1 is
+      dWx1 = z^T @ dgates1                     computed outside custom_vjp)
+      dWh1 = h1_prev_seq^T @ dgates1
+      dW2  = [h1; h2_prev]_seq^T @ dgates2
+      dh0  = dgates1[:, 0] @ Wh1^T + dgates2[:, 0] @ Wh2^T
+
+  so the custom_vjp is exact for every argument and the fused decoder is
+  safe for training, not just guidance.
+
+Cell math matches ``flax.linen.OptimizedLSTMCell`` exactly (gate order
+i, f, g, o; i/f/o sigmoid, g tanh; c' = f*c + i*g; h' = o*tanh(c');
+input kernels bias-free, recurrent kernels biased) so the kernels run on
+unchanged `LSTMVAE` checkpoints. In-kernel math is float32 regardless of
+the storage dtype (bf16 networks keep f32 gate accumulation — slightly
+*better* conditioned than the flax bf16 path; parity tests run f32).
+
+Sequence layout inside the kernels is time-leading ([T, bb, F]): Mosaic
+lowers a leading-axis ``pl.ds`` to a plain tile load, while dynamic
+indexing of a middle axis becomes an unsupported >2-D gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_GATES = ("i", "f", "g", "o")  # flax OptimizedLSTMCell concat order
+
+
+class LSTMDecodeParams(NamedTuple):
+    """Concatenated decoder weights, extracted from the flax param tree.
+
+    Shapes for hidden size H, latent L: Wc [C, H], bc [H] (cond2hidden);
+    Wx1 [L, 4H], Wh1 [H, 4H], b1 [4H]; W2 [2H, 4H] (input rows stacked
+    over recurrent rows), b2 [4H]; Wo [H, 2], bo [2] (hid2act).
+    """
+
+    Wc: jnp.ndarray
+    bc: jnp.ndarray
+    Wx1: jnp.ndarray
+    Wh1: jnp.ndarray
+    b1: jnp.ndarray
+    W2: jnp.ndarray
+    b2: jnp.ndarray
+    Wo: jnp.ndarray
+    bo: jnp.ndarray
+
+
+def _concat_cell(cell_params):
+    wx = jnp.concatenate([cell_params[f"i{g}"]["kernel"] for g in _GATES], -1)
+    wh = jnp.concatenate([cell_params[f"h{g}"]["kernel"] for g in _GATES], -1)
+    b = jnp.concatenate([cell_params[f"h{g}"]["bias"] for g in _GATES], -1)
+    return wx, wh, b
+
+
+def extract_decoder_params(lstm_dec_params) -> LSTMDecodeParams:
+    """`variables["params"]["lstmvae"]["lstm_dec"]` -> LSTMDecodeParams.
+
+    Pure jnp concatenations of the pytree leaves: cheap, jit-friendly, and
+    loop-invariant (XLA hoists it out of any sampling scan)."""
+    stack = lstm_dec_params["stack"]
+    wx1, wh1, b1 = _concat_cell(stack["lstm_0"])
+    wx2, wh2, b2 = _concat_cell(stack["lstm_1"])
+    return LSTMDecodeParams(
+        Wc=stack["cond2hidden"]["kernel"],
+        bc=stack["cond2hidden"]["bias"],
+        Wx1=wx1,
+        Wh1=wh1,
+        b1=b1,
+        W2=jnp.concatenate([wx2, wh2], axis=0),
+        b2=b2,
+        Wo=lstm_dec_params["hid2act"]["kernel"],
+        bo=lstm_dec_params["hid2act"]["bias"],
+    )
+
+
+def _gate_act(pre, H):
+    i = jax.nn.sigmoid(pre[..., 0 * H : 1 * H])
+    f = jax.nn.sigmoid(pre[..., 1 * H : 2 * H])
+    g = jnp.tanh(pre[..., 2 * H : 3 * H])
+    o = jax.nn.sigmoid(pre[..., 3 * H : 4 * H])
+    return i, f, g, o
+
+
+# ---------------------------------------------------------------------------
+# jnp reference (also the CPU / non-TPU execution path)
+# ---------------------------------------------------------------------------
+
+
+def lstm2_core_ref(xg1, h0, Wh1, W2, b2):
+    """Sequential reference of the fused stack: xg1 [B, T, 4H] (input
+    projection incl. b1), h0 [B, H] -> (y [B, T, H], h1seq, c1seq, c2seq)."""
+    H = h0.shape[-1]
+    f32 = jnp.float32
+
+    def step(carry, xg_t):
+        h1, c1, h2, c2 = carry
+        i1, f1, g1, o1 = _gate_act(xg_t + h1 @ Wh1.astype(f32), H)
+        c1n = f1 * c1 + i1 * g1
+        h1n = o1 * jnp.tanh(c1n)
+        pre2 = jnp.concatenate([h1n, h2], -1) @ W2.astype(f32) + b2.astype(f32)
+        i2, f2, g2, o2 = _gate_act(pre2, H)
+        c2n = f2 * c2 + i2 * g2
+        h2n = o2 * jnp.tanh(c2n)
+        return (h1n, c1n, h2n, c2n), (h2n, h1n, c1n, c2n)
+
+    z0 = jnp.zeros_like(h0, f32)
+    h0f = h0.astype(f32)
+    (_, _, _, _), seqs = jax.lax.scan(
+        step, (h0f, z0, h0f, z0), jnp.swapaxes(xg1, 0, 1).astype(f32)
+    )
+    y, h1s, c1s, c2s = (jnp.swapaxes(s, 0, 1) for s in seqs)
+    return y, h1s, c1s, c2s
+
+
+# ---------------------------------------------------------------------------
+# pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(xg1_ref, h0_ref, wh1_ref, w2_ref, b2_ref, y_ref, h1_ref, c1_ref, c2_ref):
+    T, BB, H4 = xg1_ref.shape
+    H = H4 // 4
+    f32 = jnp.float32
+    wh1 = wh1_ref[...].astype(f32)
+    w2 = w2_ref[...].astype(f32)
+    b2 = b2_ref[...].astype(f32)  # [1, 4H]
+    h0 = h0_ref[...].astype(f32)
+
+    def step(t, carry):
+        h1, c1, h2, c2 = carry
+        pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + jnp.dot(
+            h1, wh1, preferred_element_type=f32
+        )
+        i1, f1, g1, o1 = _gate_act(pre1, H)
+        c1n = f1 * c1 + i1 * g1
+        h1n = o1 * jnp.tanh(c1n)
+        in2 = jnp.concatenate([h1n, h2], axis=-1)
+        pre2 = jnp.dot(in2, w2, preferred_element_type=f32) + b2
+        i2, f2, g2, o2 = _gate_act(pre2, H)
+        c2n = f2 * c2 + i2 * g2
+        h2n = o2 * jnp.tanh(c2n)
+        dt = y_ref.dtype
+        y_ref[pl.ds(t, 1)] = jnp.reshape(h2n.astype(dt), (1, BB, H))
+        h1_ref[pl.ds(t, 1)] = jnp.reshape(h1n.astype(dt), (1, BB, H))
+        c1_ref[pl.ds(t, 1)] = jnp.reshape(c1n.astype(dt), (1, BB, H))
+        c2_ref[pl.ds(t, 1)] = jnp.reshape(c2n.astype(dt), (1, BB, H))
+        return h1n, c1n, h2n, c2n
+
+    z0 = jnp.zeros_like(h0)
+    jax.lax.fori_loop(0, T, step, (h0, z0, h0, z0))
+
+
+def _bwd_kernel(
+    dy_ref, xg1_ref, h0_ref, h1_ref, c1_ref, y_ref, c2_ref,
+    wh1_ref, w2_ref, b2_ref, wh1t_ref, w2t_ref,
+    dg1_ref, dg2_ref,
+):
+    """Reverse sweep. Recomputes gate activations per step, carries
+    (dh1, dc1, dh2, dc2), writes pre-activation gate cotangents."""
+    T, BB, H4 = xg1_ref.shape
+    H = H4 // 4
+    f32 = jnp.float32
+    wh1 = wh1_ref[...].astype(f32)
+    w2 = w2_ref[...].astype(f32)
+    b2 = b2_ref[...].astype(f32)
+    wh1t = wh1t_ref[...].astype(f32)  # [4H, H]
+    w2t = w2t_ref[...].astype(f32)  # [4H, 2H]
+    h0 = h0_ref[...].astype(f32)
+    zero = jnp.zeros_like(h0)
+
+    def load(ref, t):
+        return jnp.reshape(ref[pl.ds(t, 1)], ref.shape[1:]).astype(f32)
+
+    def step(k, carry):
+        t = T - 1 - k
+        dh1c, dc1c, dh2c, dc2c = carry
+        tprev = jnp.maximum(t - 1, 0)
+        first = t == 0
+        h1p = jnp.where(first, h0, load(h1_ref, tprev))
+        c1p = jnp.where(first, zero, load(c1_ref, tprev))
+        h2p = jnp.where(first, h0, load(y_ref, tprev))
+        c2p = jnp.where(first, zero, load(c2_ref, tprev))
+        h1t = load(h1_ref, t)
+        c1t = load(c1_ref, t)
+        c2t = load(c2_ref, t)
+
+        # --- recompute activations ---
+        pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + jnp.dot(
+            h1p, wh1, preferred_element_type=f32
+        )
+        i1, f1, g1, o1 = _gate_act(pre1, H)
+        pre2 = jnp.dot(
+            jnp.concatenate([h1t, h2p], -1), w2, preferred_element_type=f32
+        ) + b2
+        i2, f2, g2, o2 = _gate_act(pre2, H)
+
+        # --- layer 2 backward ---
+        dh2 = jnp.reshape(dy_ref[pl.ds(t, 1)], (BB, H)).astype(f32) + dh2c
+        tc2 = jnp.tanh(c2t)
+        do2 = dh2 * tc2
+        dc2 = dc2c + dh2 * o2 * (1.0 - tc2 * tc2)
+        dg2 = jnp.concatenate(
+            [
+                dc2 * g2 * i2 * (1.0 - i2),
+                dc2 * c2p * f2 * (1.0 - f2),
+                dc2 * i2 * (1.0 - g2 * g2),
+                do2 * o2 * (1.0 - o2),
+            ],
+            axis=-1,
+        )
+        dxh = jnp.dot(dg2, w2t, preferred_element_type=f32)  # [BB, 2H]
+
+        # --- layer 1 backward ---
+        dh1 = dxh[:, :H] + dh1c
+        tc1 = jnp.tanh(c1t)
+        do1 = dh1 * tc1
+        dc1 = dc1c + dh1 * o1 * (1.0 - tc1 * tc1)
+        dg1 = jnp.concatenate(
+            [
+                dc1 * g1 * i1 * (1.0 - i1),
+                dc1 * c1p * f1 * (1.0 - f1),
+                dc1 * i1 * (1.0 - g1 * g1),
+                do1 * o1 * (1.0 - o1),
+            ],
+            axis=-1,
+        )
+        dt = dg1_ref.dtype
+        dg1_ref[pl.ds(t, 1)] = jnp.reshape(dg1.astype(dt), (1, BB, H4))
+        dg2_ref[pl.ds(t, 1)] = jnp.reshape(dg2.astype(dt), (1, BB, H4))
+        return (
+            jnp.dot(dg1, wh1t, preferred_element_type=f32),
+            dc1 * f1,
+            dxh[:, H:],
+            dc2 * f2,
+        )
+
+    jax.lax.fori_loop(0, T, step, (zero, zero, zero, zero))
+
+
+def _pick_bb(B: int, T: int, H: int, itemsize: int, bwd: bool) -> int:
+    """Largest power-of-two batch block whose VMEM footprint fits ~5 MB of
+    single-buffered block bytes (Mosaic double-buffers grid blocks, so the
+    resident footprint is ~2x this; the 16 MB scoped-stack limit then keeps
+    ~6 MB of headroom for in-kernel temporaries). Forward holds xg1
+    [T, bb, 4H] + 4 state seqs; backward additionally holds dy and the two
+    [T, bb, 4H] dgates outputs."""
+    budget = 5 << 20
+    per_b = T * (4 * H + 4 * H) * itemsize  # xg1 + seqs
+    if bwd:
+        per_b += T * (H + 8 * H) * itemsize  # dy + dgates1 + dgates2
+    bb = 128
+    while bb > 8 and (bb > B or bb * per_b > budget):
+        bb //= 2
+    return bb
+
+
+def _seq_specs(T, bb, F):
+    return pl.BlockSpec((T, bb, F), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+
+
+def _mat_spec(shape):
+    return pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+def _pad_batch(arrs, B, bb):
+    pad = (-B) % bb
+    if pad:
+        arrs = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs]
+    return arrs, B + pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def lstm2_core(xg1, h0, Wh1, W2, b2, interpret=False):
+    """Fused sequential core: xg1 [B, T, 4H] = z @ Wx1 + b1, h0 [B, H]
+    (initial hidden of BOTH layers, cell states zero) -> y [B, T, H].
+
+    Differentiable in every argument (see module docstring for how the
+    weight gradients are recovered from the in-kernel dgates)."""
+    y, _, _, _ = _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret)
+    return y
+
+
+def _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret):
+    B, T, H4 = xg1.shape
+    H = H4 // 4
+    bb = _pick_bb(B, T, H, xg1.dtype.itemsize, bwd=False)
+    (xg1p, h0p), Bp = _pad_batch([xg1, h0], B, bb)
+    seq = _seq_specs(T, bb, H)
+    outs = pl.pallas_call(
+        _fwd_kernel,
+        grid=(Bp // bb,),
+        in_specs=[
+            _seq_specs(T, bb, H4),
+            pl.BlockSpec((bb, H), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            _mat_spec(Wh1.shape),
+            _mat_spec(W2.shape),
+            _mat_spec((1, H4)),
+        ],
+        out_specs=[seq, seq, seq, seq],
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, H), xg1.dtype)] * 4,
+        interpret=interpret,
+    )(
+        jnp.swapaxes(xg1p, 0, 1),
+        h0p,
+        Wh1,
+        W2,
+        b2.reshape(1, H4),
+    )
+    y, h1s, c1s, c2s = (jnp.swapaxes(o, 0, 1)[:B] for o in outs)
+    return y, h1s, c1s, c2s
+
+
+def _core_fwd(xg1, h0, Wh1, W2, b2, interpret):
+    y, h1s, c1s, c2s = _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret)
+    return y, (xg1, h0, Wh1, W2, b2, y, h1s, c1s, c2s)
+
+
+def _core_bwd(interpret, res, dy):
+    xg1, h0, Wh1, W2, b2, y, h1s, c1s, c2s = res
+    B, T, H4 = xg1.shape
+    H = H4 // 4
+    f32 = jnp.float32
+    bb = _pick_bb(B, T, H, xg1.dtype.itemsize, bwd=True)
+    arrs, Bp = _pad_batch([dy, xg1, h0, h1s, c1s, y, c2s], B, bb)
+    dyp, xg1p, h0p, h1p, c1p, yp, c2p = arrs
+    seqH = _seq_specs(T, bb, H)
+    seqG = _seq_specs(T, bb, H4)
+    tseq = lambda a: jnp.swapaxes(a, 0, 1)
+    dg1, dg2 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(Bp // bb,),
+        in_specs=[seqH, seqG]
+        + [pl.BlockSpec((bb, H), lambda b: (b, 0), memory_space=pltpu.VMEM)]
+        + [seqH] * 4
+        + [
+            _mat_spec(Wh1.shape),
+            _mat_spec(W2.shape),
+            _mat_spec((1, H4)),
+            _mat_spec((H4, H)),
+            _mat_spec((H4, 2 * H)),
+        ],
+        out_specs=[seqG, seqG],
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, H4), xg1.dtype)] * 2,
+        interpret=interpret,
+    )(
+        tseq(dyp),
+        tseq(xg1p),
+        h0p,
+        tseq(h1p),
+        tseq(c1p),
+        tseq(yp),
+        tseq(c2p),
+        Wh1,
+        W2,
+        b2.reshape(1, H4),
+        jnp.swapaxes(Wh1, 0, 1),
+        jnp.swapaxes(W2, 0, 1),
+    )
+    dg1 = jnp.swapaxes(dg1, 0, 1)[:B].astype(f32)  # [B, T, 4H]
+    dg2 = jnp.swapaxes(dg2, 0, 1)[:B].astype(f32)
+
+    h0f = h0.astype(f32)
+    h1prev = jnp.concatenate([h0f[:, None], h1s[:, :-1].astype(f32)], axis=1)
+    h2prev = jnp.concatenate([h0f[:, None], y[:, :-1].astype(f32)], axis=1)
+    in2 = jnp.concatenate([h1s.astype(f32), h2prev], axis=-1)  # [B, T, 2H]
+
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+    dWh1 = flat(h1prev).T @ flat(dg1)
+    dW2 = flat(in2).T @ flat(dg2)
+    db2 = jnp.sum(dg2, axis=(0, 1))
+    dh0 = (
+        dg1[:, 0] @ jnp.swapaxes(Wh1, 0, 1).astype(f32)
+        + dg2[:, 0] @ jnp.swapaxes(W2[H:], 0, 1).astype(f32)
+    )
+    return (
+        dg1.astype(xg1.dtype),
+        dh0.astype(h0.dtype),
+        dWh1.astype(Wh1.dtype),
+        dW2.astype(W2.dtype),
+        db2.astype(b2.dtype),
+    )
+
+
+lstm2_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# decoder entry point
+# ---------------------------------------------------------------------------
+
+
+def fused_decode_actions(
+    vae_variables, z: jnp.ndarray, cond_feat: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Drop-in replacement for ``VaeModel.decode`` (deterministic path):
+    latents z [..., T, L] + cond_feat [..., C] -> scaled actions [..., T, 2].
+
+    ``impl``: "auto" (pallas on TPU, jnp reference elsewhere), "pallas",
+    "interpret" (pallas in interpret mode, for tests), or "ref"."""
+    p = extract_decoder_params(vae_variables["params"]["lstmvae"]["lstm_dec"])
+    lead = z.shape[:-2]
+    T, L = z.shape[-2:]
+    z2 = z.reshape(-1, T, L)
+    cond2 = cond_feat.reshape(-1, cond_feat.shape[-1])
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "ref"
+    # bf16 storage on TPU halves the kernels' VMEM footprint and HBM
+    # traffic; in-kernel gate math stays f32 (matches the bf16 flax
+    # network's numerics class). Params keep their stored dtype elsewhere.
+    dtype = jnp.bfloat16 if impl == "pallas" else p.Wc.dtype
+    if dtype != p.Wc.dtype:
+        p = jax.tree_util.tree_map(lambda a: a.astype(dtype), p)
+    xg1 = z2.astype(dtype) @ p.Wx1 + p.b1
+    h0 = cond2.astype(dtype) @ p.Wc + p.bc
+    if impl == "ref":
+        y, _, _, _ = lstm2_core_ref(xg1, h0, p.Wh1, p.W2, p.b2)
+        y = y.astype(dtype)
+    else:
+        y = lstm2_core(xg1, h0, p.Wh1, p.W2, p.b2, impl == "interpret")
+    acts = y @ p.Wo + p.bo
+    return acts.reshape(*lead, T, p.Wo.shape[-1])

@@ -37,7 +37,7 @@ from cld_tpu.guidance.perturbation import (
     make_perturbation_guidance,
     per_sample_guidance_loss,
 )
-from cld_tpu.models.vae import convert_action_to_state_and_action
+from cld_tpu.models.vae import convert_action_to_state_and_action, decode_actions
 from cld_tpu.ops.dynamics import UnicycleParams
 from cld_tpu.ops.geometry import world_from_agent_matrix
 from cld_tpu.ops.normalization import TrajNormalizer
@@ -91,7 +91,10 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
         curr_rep = jnp.repeat(curr_states, num_samp, axis=0)
 
         def decode_fn(z):
-            acts = dm_trainer.vae.apply(dm_trainer.vae_variables, z, cond_rep, method="decode")
+            acts = decode_actions(
+                dm_trainer.vae, dm_trainer.vae_variables, z, cond_rep,
+                impl=args.decode_impl,
+            )
             traj = convert_action_to_state_and_action(
                 acts, curr_rep, dyn, normalizer, descaled_output=True
             )
@@ -239,6 +242,10 @@ def main():
                              "env_trajdata.py:520): ego = first agent of "
                              "each scene")
     parser.add_argument("--sampler", type=str, default="ddpm", choices=["ddpm", "ddim"])
+    parser.add_argument("--decode-impl", type=str, default="auto",
+                        choices=["auto", "flax", "pallas", "ref", "interpret"],
+                        help="guidance decode indirection: fused pallas LSTM "
+                             "stack (auto: on TPU) or the flax module scan")
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
     parser.add_argument("--guidance", type=str, default="",
