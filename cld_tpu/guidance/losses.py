@@ -128,10 +128,18 @@ def _min_dist_rigid_bwd(res, g):
     pts, idx, dist = res
     P = pts.shape[-2]
     a = g / dist  # [..., P]
+    # grad_i = p_i * sum_j 1[i*_j = i] a_j  -  sum_j 1[i*_j = i] a_j p_j.
+    # Three separate vector contractions, NOT one einsum with a channel
+    # axis: "...ij,...jc->...ic" lowers to a dot, which forces the [..., P, P]
+    # one-hot to materialize in HBM (~266 MB at bench scale, the single
+    # largest guided-step cost when measured); rank-reducing "...ij,...j->...i"
+    # reduces stay fused with the compare, so the pairwise tensor never
+    # leaves registers.
     onehot = (idx[..., None, :] == jnp.arange(P)[:, None]).astype(pts.dtype)
-    # grad_i = p_i * sum_j 1[i*_j = i] a_j  -  sum_j 1[i*_j = i] a_j p_j
     s_a = jnp.einsum("...ij,...j->...i", onehot, a)
-    s_ap = jnp.einsum("...ij,...jc->...ic", onehot, a[..., None] * pts)
+    s_apx = jnp.einsum("...ij,...j->...i", onehot, a * pts[..., 0])
+    s_apy = jnp.einsum("...ij,...j->...i", onehot, a * pts[..., 1])
+    s_ap = jnp.stack([s_apx, s_apy], axis=-1)
     grad = pts * s_a[..., None] - s_ap
     return grad, None, None
 

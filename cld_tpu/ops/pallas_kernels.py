@@ -219,16 +219,25 @@ def pack_drivable_bits(drivable: jnp.ndarray) -> jnp.ndarray:
 
 
 def drivable_bit_gather_pallas(
-    pix: jnp.ndarray, drivable: jnp.ndarray, interpret: bool = False
+    pix: jnp.ndarray,
+    drivable: jnp.ndarray,
+    interpret: bool = False,
+    prepacked: bool = False,
 ) -> jnp.ndarray:
     """On-road bit per query point: pix [B, Q, 2] int32 (col, row,
     pre-clamped), drivable [B, H, W] (any dtype; on-road = value > 0)
     -> [B, Q] f32 in {0, 1}. Same grid/blocking as drivable_gather_pallas
-    but on the 8x-packed map."""
+    but on the 8x-packed map.
+
+    ``prepacked``: drivable is already the [B, H, ceil(W/8)] int8 output of
+    `pack_drivable_bits` — callers inside a sampling scan should pre-pack
+    once outside the loop (XLA does not hoist the pack out of while loops)."""
     B, Q, _ = pix.shape
-    _, H, W = drivable.shape
-    packed = pack_drivable_bits(drivable)  # [B, H, W8]
-    W8 = packed.shape[-1]
+    if prepacked:
+        packed = drivable
+    else:
+        packed = pack_drivable_bits(drivable)  # [B, H, W8]
+    _, H, W8 = packed.shape
     qc = 2048 if Q >= 2048 else Q + ((-Q) % _GATHER_TILE)
     qpad = (-Q) % qc
     if qpad:
