@@ -172,14 +172,14 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
 
         gfn = None
         if guided:
-            ctx = GuidanceContext(
+            ctx = prepack_drivable(GuidanceContext(
                 drivable_map=batch.drivable_map,
                 raster_from_agent=batch.raster_from_agent,
                 extent=batch.extent,
                 curr_speed=batch.curr_speed,
                 world_from_agent=world_from_agent_matrix(pos_w, yaw_w),
                 scene_index=scene_index,
-            )
+            ))
             gfn = make_perturbation_guidance(
                 ctx, flagship_guidance_specs(AGENTS_PER_SCENE), decode_fn,
                 lr=0.3, grad_steps=1, perturb_th=1.0,
@@ -248,7 +248,7 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
     BASELINE.json north-star metric, on the same flagship guidance."""
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.data.batch import get_current_states
-    from cld_tpu.guidance.losses import GuidanceContext
+    from cld_tpu.guidance.losses import GuidanceContext, prepack_drivable
     from cld_tpu.guidance.perturbation import make_perturbation_guidance
     from cld_tpu.models.vae import (
         convert_action_to_state_and_action,
@@ -291,14 +291,14 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
             )
             return traj[:, None]
 
-        ctx = GuidanceContext(
+        ctx = prepack_drivable(GuidanceContext(
             drivable_map=obs.drivable_map,
             raster_from_agent=obs.raster_from_agent,
             extent=obs.extent,
             curr_speed=obs.curr_speed,
             world_from_agent=obs.world_from_agent,
             scene_index=obs.scene_index,
-        )
+        ))
         gfn = make_perturbation_guidance(
             ctx, specs, decode_fn, lr=0.3, grad_steps=1, perturb_th=1.0
         )

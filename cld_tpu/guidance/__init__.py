@@ -9,6 +9,7 @@ through the sampling scan (instead of torch.optim mutating a leaf tensor).
 
 from cld_tpu.guidance.losses import (
     GuidanceContext,
+    prepack_drivable,
     TargetSpeedLoss,
     AgentCollisionLoss,
     MapCollisionLoss,

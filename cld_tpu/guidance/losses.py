@@ -45,6 +45,21 @@ class GuidanceContext(NamedTuple):
     agent_from_world: Optional[jnp.ndarray] = None  # [B, 3, 3]
     global_t: Optional[jnp.ndarray] = None  # scalar int32 current sim frame
     agent_hist_world: Optional[jnp.ndarray] = None  # [B, Th, 4] world (x,y,v,yaw)
+    # bit-packed drivable map ([B, H, ceil(W/8)] int8, pack_drivable_bits)
+    # computed once at context-construction time: XLA does not hoist the
+    # pack out of while loops, so packing inside the denoise scan would pay
+    # it at every guidance step. Fill via `prepack_drivable`.
+    drivable_packed: Optional[jnp.ndarray] = None
+
+
+def prepack_drivable(ctx: "GuidanceContext") -> "GuidanceContext":
+    """Return ctx with `drivable_packed` filled (TPU backend only — the
+    packed form feeds the pallas bit-gather, which interprets elsewhere)."""
+    if ctx.drivable_packed is not None or jax.default_backend() != "tpu":
+        return ctx
+    from cld_tpu.ops.pallas_kernels import pack_drivable_bits
+
+    return ctx._replace(drivable_packed=pack_drivable_bits(ctx.drivable_map))
 
 
 def masked_mean(per_agent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -524,13 +539,20 @@ class MapCollisionLoss:
 
             pixq = jnp.stack([col, row], axis=-1).reshape(B, N * T * P, 2)
             # only the on/off-road bit is consumed, so the map binarizes and
-            # bit-packs 8 columns/byte up front (sampling-scan-invariant —
-            # hoists out of the denoise loop) and the one-hot matmul fetches
-            # packed bytes: 8x fewer int8 MACs than gathering raw pixels
-            vals = drivable_bit_gather_pallas(
-                pixq, ctx.drivable_map,
-                interpret=jax.default_backend() != "tpu",
-            )
+            # bit-packs 8 columns/byte (ideally once per context via
+            # prepack_drivable — packing here lands inside the denoise scan
+            # body and repeats every step) and the one-hot matmul fetches
+            # packed bytes: 8x fewer MACs than gathering raw pixels
+            if ctx.drivable_packed is not None:
+                vals = drivable_bit_gather_pallas(
+                    pixq, ctx.drivable_packed, prepacked=True,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                vals = drivable_bit_gather_pallas(
+                    pixq, ctx.drivable_map,
+                    interpret=jax.default_backend() != "tpu",
+                )
             offroad = vals.reshape(B, N, T, P) <= 0
         elif impl == "pallas_px":
             from cld_tpu.ops.pallas_kernels import drivable_gather_pallas

@@ -183,23 +183,26 @@ def _bit_gather_kernel(rows_ref, cols_ref, mapt_ref, out_ref):
     column-select than the unpacked kernel — and the point's bit is peeled
     with a shift/mask on the VPU.
 
-    rows/cols [AB, QC] int32 point coords; mapt [AB, W8, H] int8 packed
-    TRANSPOSED maps (byte w8 of row h holds map[h, 8*w8 : 8*w8+8], LSB
-    first). Output [AB, QC] f32 in {0, 1}.
+    rows/cols [AB, QC] int32 point coords; mapt [AB, W8, H] bf16 packed
+    TRANSPOSED maps (byte w8 of row h holds map[h, 8*w8 : 8*w8+8] as an
+    exact bf16 integer in [0, 255], LSB first). bf16 one-hots measure ~25%
+    faster than the int8 MXU path at bench scale (scripts/micro_gather2.py:
+    0.157 vs 0.212 ms/iter) and the byte values stay exact — bf16 carries
+    8 significant bits and the dot accumulates in f32. Output [AB, QC] f32
+    in {0, 1}.
     """
     AB, QC = rows_ref.shape
     _, W8, H = mapt_ref.shape
     ih = jax.lax.broadcasted_iota(jnp.int32, (H, QC), 0)
     iw8 = jax.lax.broadcasted_iota(jnp.int32, (W8, QC), 0)
     for a in range(AB):
-        mt = mapt_ref[a]  # [W8, H] int8 (packed bytes, sign-reinterpreted)
-        oh = (ih == rows_ref[a : a + 1, :]).astype(jnp.int8)  # [H, QC]
-        g = jnp.dot(mt, oh, preferred_element_type=jnp.int32)  # [W8, QC]
+        mt = mapt_ref[a]  # [W8, H] bf16 byte values
+        oh = (ih == rows_ref[a : a + 1, :]).astype(jnp.bfloat16)  # [H, QC]
+        g = jnp.dot(mt, oh, preferred_element_type=jnp.float32)  # [W8, QC]
         cm = iw8 == jax.lax.shift_right_logical(cols_ref[a : a + 1, :], 3)
-        word = jnp.sum(jnp.where(cm, g, 0), axis=0)[None, :]  # [1, QC]
-        bit = jax.lax.shift_right_logical(
-            word & 0xFF, cols_ref[a : a + 1, :] & 7
-        ) & 1
+        word = jnp.sum(jnp.where(cm, g, 0.0), axis=0)
+        word = word[None, :].astype(jnp.int32)  # exact: integer in [0, 255]
+        bit = jax.lax.shift_right_logical(word, cols_ref[a : a + 1, :] & 7) & 1
         out_ref[a, :] = bit[0].astype(jnp.float32)
 
 
@@ -254,7 +257,11 @@ def drivable_bit_gather_pallas(
     Bp = B + bpad
     rows = pix[..., 1]
     cols = pix[..., 0]
-    mapt = jnp.swapaxes(packed, 1, 2)  # [Bp, W8, H]
+    mapt = jnp.swapaxes(packed, 1, 2)  # [Bp, W8, H] int8
+    # signed byte -> exact bf16 integer in [0, 255]; map-dependent only, so
+    # like the transpose it is loop-invariant wherever the map is
+    mapt = jnp.where(mapt < 0, mapt.astype(jnp.int32) + 256, mapt.astype(jnp.int32))
+    mapt = mapt.astype(jnp.bfloat16)
     pt_spec = pl.BlockSpec((ab, qc), lambda b, q: (b, q), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _bit_gather_kernel,

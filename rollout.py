@@ -29,7 +29,7 @@ import numpy as np
 
 from cld_tpu.algos.dm import sample_traj
 from cld_tpu.data.batch import get_current_states
-from cld_tpu.guidance.losses import GuidanceContext
+from cld_tpu.guidance.losses import GuidanceContext, prepack_drivable
 from cld_tpu.guidance.parsing import parse_guidance_arg, specs_from_configs
 from cld_tpu.guidance.perturbation import (
     choose_best_sample,
@@ -132,7 +132,7 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                     jnp.arctan2(w_from_a[:, 1, 0], w_from_a[:, 0, 0]),
                     obs.agent_from_world,
                 )
-            ctx = GuidanceContext(
+            ctx = prepack_drivable(GuidanceContext(
                 drivable_map=obs.drivable_map,
                 raster_from_agent=obs.raster_from_agent,
                 extent=obs.extent,
@@ -144,7 +144,7 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 agent_from_world=obs.agent_from_world,
                 global_t=obs.sim_step,
                 agent_hist_world=hist_world,
-            )
+            ))
             if not args.guide_as_filter_only:
                 guidance_fn = make_perturbation_guidance(
                     ctx, specs, decode_fn,
