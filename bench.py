@@ -130,7 +130,7 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.algos.reward import compute_reward
     from cld_tpu.data.batch import get_current_states
-    from cld_tpu.guidance.losses import GuidanceContext
+    from cld_tpu.guidance.losses import GuidanceContext, prepack_drivable
     from cld_tpu.guidance.perturbation import make_perturbation_guidance
     from cld_tpu.models.vae import (
         convert_action_to_state_and_action,

@@ -187,14 +187,16 @@ def main():
 
             gfn = None
             if specs is not None:
-                ctx = GuidanceContext(
+                from cld_tpu.guidance.losses import prepack_drivable
+
+                ctx = prepack_drivable(GuidanceContext(
                     drivable_map=batch.drivable_map,
                     raster_from_agent=batch.raster_from_agent,
                     extent=batch.extent,
                     curr_speed=batch.curr_speed,
                     world_from_agent=world_from_agent_matrix(pos_w, yaw_w),
                     scene_index=scene_index,
-                )
+                ))
                 gfn = make_perturbation_guidance(
                     ctx, specs, decode_fn, lr=0.3, grad_steps=1, perturb_th=1.0
                 )
