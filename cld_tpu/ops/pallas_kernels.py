@@ -280,6 +280,81 @@ def drivable_bit_gather_pallas(
 
 
 # ---------------------------------------------------------------------------
+# multi-channel windowed value gather: out[m, c, q] = maps[m, c, row_q, col_q]
+# (the semantic-map warp kernel — see ops/raster.py:warp_scene_maps)
+# ---------------------------------------------------------------------------
+def _value_gather_kernel(rows_ref, cols_ref, mapt_ref, out_ref):
+    """Lane-major one-hot gather over C channels sharing one query set.
+
+    rows/cols [AB, QC] int32 window-local coords; mapt [AB, C, W, H] int8
+    TRANSPOSED channel windows. The row one-hot and the column mask are
+    built ONCE per window and reused across channels; each channel costs
+    one [W, H] x [H, QC] int8 MXU dot plus a masked lane reduce. Output
+    [AB, C, QC] f32 holds the raw int8 byte reinterpreted (callers undo the
+    signed wrap with +256 where negative).
+    """
+    AB, QC = rows_ref.shape
+    _, C, W, H = mapt_ref.shape
+    ih = jax.lax.broadcasted_iota(jnp.int32, (H, QC), 0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, QC), 0)
+    for a in range(AB):
+        oh = (ih == rows_ref[a : a + 1, :]).astype(jnp.int8)  # [H, QC]
+        cm = iw == cols_ref[a : a + 1, :]  # [W, QC]
+        for c in range(C):
+            g = jnp.dot(mapt_ref[a, c], oh, preferred_element_type=jnp.int32)
+            out_ref[a, c, :] = jnp.sum(
+                jnp.where(cm, g.astype(jnp.float32), 0.0), axis=0
+            )
+
+
+def value_gather_pallas(
+    pix: jnp.ndarray, maps: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Gather int8 channel values under query points on the MXU.
+
+    pix [M, Q, 2] int32 (col, row) pre-clamped into the window; maps
+    [M, H, W, C] int8 -> [M, Q, C] f32 raw byte values in [-128, 127]
+    (signed-wrapped; callers recover unsigned with +256 where < 0).
+    """
+    M, Q, _ = pix.shape
+    _, H, W, C = maps.shape
+    qc = 2048 if Q >= 2048 else Q + ((-Q) % _GATHER_TILE)
+    qpad = (-Q) % qc
+    if qpad:
+        pix = jnp.pad(pix, ((0, 0), (0, qpad), (0, 0)))
+    Qp = Q + qpad
+    if M < _GATHER_AB:
+        ab, mpad = M, 0
+    else:
+        ab = _GATHER_AB
+        mpad = (-M) % _GATHER_AB
+        if mpad:
+            pix = jnp.pad(pix, ((0, mpad), (0, 0), (0, 0)))
+            maps = jnp.pad(maps, ((0, mpad),) + ((0, 0),) * 3)
+    Mp = M + mpad
+    rows = pix[..., 1]
+    cols = pix[..., 0]
+    mapt = jnp.transpose(maps, (0, 3, 2, 1))  # [Mp, C, W, H]
+    pt_spec = pl.BlockSpec((ab, qc), lambda m, q: (m, q), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _value_gather_kernel,
+        grid=(Mp // ab, Qp // qc),
+        in_specs=[
+            pt_spec,
+            pt_spec,
+            pl.BlockSpec((ab, C, W, H), lambda m, q: (m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ab, C, qc), lambda m, q: (m, 0, q), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, C, Qp), jnp.float32),
+        interpret=interpret,
+    )(rows, cols, mapt)
+    return jnp.transpose(out[:M, :, :Q], (0, 2, 1))  # [M, Q, C]
+
+
+# ---------------------------------------------------------------------------
 # rigid map-collision min-distance: masked min over a pose-invariant P x P
 # distance cache + analytic argmin-routed backward, fully VMEM-resident
 # ---------------------------------------------------------------------------

@@ -65,6 +65,150 @@ def warp_to_agent_frame(
     return vals.reshape(B, H, W, -1)
 
 
+def _pick_band(raster_size: int, scale_px: float) -> Tuple[int, int]:
+    """Band height + window size for the banded warp kernel. The viewport
+    is cut into NB horizontal bands; each band's rotated world footprint
+    fits a [WIN, WIN] window for ANY yaw (worst case = the band rect's
+    diagonal). WIN is lane-aligned to 128; the MAC cost of the gather is
+    H*W*WIN^2, so pick the band height minimizing WIN (ties -> fewer,
+    taller bands)."""
+    H = raster_size
+    best = None
+    for nb in (1, 2, 4, 7, 8, 14, 16):
+        if H % nb:
+            continue
+        bh = H // nb
+        span = (H * H + bh * bh) ** 0.5 * scale_px + 4.0
+        win = int(-(-span // 128) * 128)
+        if best is None or win < best[1]:
+            best = (bh, win)
+    return best
+
+
+def warp_scene_maps(
+    world_maps: jnp.ndarray,
+    map_origin: jnp.ndarray,
+    world_map_resolution: float,
+    world_from_agent: jnp.ndarray,
+    scene_index: jnp.ndarray,
+    raster_size: int = 224,
+    pixel_size: float = 0.5,
+    ego_center: Tuple[float, float] = (-0.5, 0.0),
+    fill_value: float = 0.0,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Egocentric semantic rasters for a batch of agents across scenes.
+
+    world_maps [Ns, Hw, Ww, C] (values in [0, 1]), map_origin [Ns, 2],
+    world_from_agent [Na, 3, 3], scene_index [Na] -> [Na, H, W, C].
+
+    ``impl="jnp"`` is the exact per-agent `warp_to_agent_frame` (an XLA
+    fancy-index gather: ~20 ms for 32 agents at 224 px / 512 px maps —
+    40% of a guided closed-loop episode, scripts/closed_loop_breakdown.py).
+    ``"pallas"`` replaces it with a banded one-hot-matmul gather: the
+    viewport splits into horizontal bands, each band's world footprint is
+    dynamic-sliced into a [WIN, WIN] window (cheap: contiguous DMA), and
+    window values are fetched on the MXU by the drivable-gather kernel
+    pattern (`value_gather_pallas`), all C channels sharing one one-hot.
+    Map values are quantized to 8 bits (int8 windows) — exact for the
+    usual {0, k/255} mask layers, <=1/510 off otherwise. ``"auto"`` =
+    pallas on TPU when the window fits the map, jnp elsewhere.
+    """
+    Ns, Hw, Ww, C = world_maps.shape
+    Na = world_from_agent.shape[0]
+    H = W = raster_size
+    res = world_map_resolution
+    scale_px = pixel_size / res
+
+    bh_win = _pick_band(raster_size, scale_px)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if bh_win is None or min(Hw, Ww) < bh_win[1]:
+        use_pallas = False
+    if not use_pallas:
+        def one(i):
+            s = scene_index[i]
+            return warp_to_agent_frame(
+                world_maps[s], world_from_agent[i][None], res,
+                map_origin[s], raster_size, pixel_size, ego_center,
+                fill_value,
+            )[0]
+
+        return jax.vmap(one)(jnp.arange(Na))
+
+    BH, WIN = bh_win
+    NB = H // BH
+    M = Na * NB
+
+    # --- queries: identical index math to warp_to_agent_frame ---
+    cx = (1.0 + ego_center[0]) / 2.0 * raster_size
+    cy = (1.0 + ego_center[1]) / 2.0 * raster_size
+    xs = (jnp.arange(W, dtype=jnp.float32) - cx) * pixel_size
+    ys = (jnp.arange(H, dtype=jnp.float32) - cy) * pixel_size
+    gx, gy = jnp.meshgrid(xs, ys)  # [H, W] agent-frame meters
+    pts = jnp.stack([gx, gy], axis=-1).reshape(1, -1, 2)
+    world_pts = transform_points(
+        jnp.broadcast_to(pts, (Na, H * W, 2)), world_from_agent
+    )
+    wp = (world_pts - map_origin[scene_index][:, None]) / res
+    ix = jnp.round(wp[..., 0]).astype(jnp.int32)
+    iy = jnp.round(wp[..., 1]).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < Ww) & (iy >= 0) & (iy < Hw)  # [Na, H*W]
+
+    # --- per-(agent, band) windows around the band's world centroid ---
+    band_cy = (jnp.arange(NB, dtype=jnp.float32) + 0.5) * BH
+    ctr_a = jnp.stack(
+        [
+            jnp.broadcast_to((W / 2.0 - cx) * pixel_size, (NB,)),
+            (band_cy - cy) * pixel_size,
+        ],
+        axis=-1,
+    )  # [NB, 2] agent frame
+    ctr_w = transform_points(
+        jnp.broadcast_to(ctr_a[None], (Na, NB, 2)), world_from_agent
+    )  # [Na, NB, 2]
+    ctr_px = jnp.round(
+        (ctr_w - map_origin[scene_index][:, None]) / res
+    ).astype(jnp.int32)
+    ox = jnp.clip(ctr_px[..., 0] - WIN // 2, 0, Ww - WIN).reshape(M)
+    oy = jnp.clip(ctr_px[..., 1] - WIN // 2, 0, Hw - WIN).reshape(M)
+
+    # 8-bit quantized maps; loop-invariant given the map, cheap otherwise.
+    # Bytes >= 128 must wrap to negative EXPLICITLY: XLA's float->int8
+    # convert clamps out-of-range values at 127 instead of wrapping.
+    qw = jnp.round(jnp.clip(world_maps, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    q8 = jnp.where(qw >= 128, qw - 256, qw).astype(jnp.int8)
+    scene_m = jnp.repeat(scene_index, NB)
+
+    def slice_one(m):
+        return jax.lax.dynamic_slice(
+            q8[scene_m[m]], (oy[m], ox[m], 0), (WIN, WIN, C)
+        )
+
+    wins = jax.vmap(slice_one)(jnp.arange(M))  # [M, WIN, WIN, C] int8
+
+    # window-local queries (bands are contiguous row blocks of the raster)
+    Qb = BH * W
+    lx = jnp.clip(ix.reshape(M, Qb) - ox[:, None], 0, WIN - 1)
+    ly = jnp.clip(iy.reshape(M, Qb) - oy[:, None], 0, WIN - 1)
+
+    from cld_tpu.ops.pallas_kernels import value_gather_pallas
+
+    raw = value_gather_pallas(
+        jnp.stack([lx, ly], axis=-1), wins,
+        interpret=jax.default_backend() != "tpu",
+    )  # [M, Qb, C] signed bytes
+    vals = jnp.where(raw < 0, raw + 256.0, raw) * (1.0 / 255.0)
+    if fill_value != 0.0:
+        vals = jnp.where(
+            valid.reshape(M, Qb)[..., None], vals, fill_value
+        )
+    else:
+        vals = vals * valid.reshape(M, Qb)[..., None]
+    return vals.reshape(Na, H, W, C)
+
+
 def rasterize_history(
     ego_hist: jnp.ndarray,
     ego_avail: jnp.ndarray,

@@ -32,7 +32,7 @@ from cld_tpu.ops.geometry import (
     transform_points,
     world_from_agent_matrix,
 )
-from cld_tpu.ops.raster import rasterize_history, warp_to_agent_frame
+from cld_tpu.ops.raster import rasterize_history, warp_scene_maps
 from cld_tpu.sim.scene import ScenePack
 
 
@@ -123,19 +123,18 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
     a_from_w = agent_from_world_matrix(pos, yaw)
 
     # semantic layers: per-agent egocentric warp of that agent's scene map
-    def warp_one(agent_idx):
-        scene = pack.scene_index[agent_idx]
-        return warp_to_agent_frame(
-            pack.world_map[scene],
-            w_from_a[agent_idx][None],
-            pack.map_resolution,
-            pack.map_origin[scene],
-            cfg.raster_size,
-            cfg.pixel_size,
-            cfg.ego_center,
-        )[0]
-
-    sem = jax.vmap(warp_one)(jnp.arange(Na))  # [Na, H, W, C_sem]
+    # (banded one-hot MXU gather on TPU — the XLA fancy-index warp was 40%
+    # of a guided closed-loop episode, scripts/closed_loop_breakdown.py)
+    sem = warp_scene_maps(
+        pack.world_map,
+        pack.map_origin,
+        pack.map_resolution,
+        w_from_a,
+        pack.scene_index,
+        cfg.raster_size,
+        cfg.pixel_size,
+        cfg.ego_center,
+    )  # [Na, H, W, C_sem]
 
     # histories into each agent's frame
     hist_world = state.history[:, :, :2]  # [Na, Th, 2]

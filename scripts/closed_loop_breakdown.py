@@ -133,18 +133,19 @@ def main():
     zero = run_mode("zero", zero_policy)
 
     # knock out the semantic warp: constant map channels
-    orig_warp = sim_env.warp_to_agent_frame
+    orig_warp = sim_env.warp_scene_maps
 
-    def const_warp(world_map, w_from_a, res, origin, rs, ps, ec, fill_value=0.0):
+    def const_warp(world_maps, origin, res, w_from_a, scene_index, rs, ps, ec,
+                   fill_value=0.0, impl="auto"):
         B = w_from_a.shape[0]
-        C = world_map.shape[-1]
-        return jnp.ones((B, rs, rs, C), world_map.dtype)
+        C = world_maps.shape[-1]
+        return jnp.ones((B, rs, rs, C), world_maps.dtype)
 
-    sim_env.warp_to_agent_frame = const_warp
+    sim_env.warp_scene_maps = const_warp
     try:
         nowarp = run_mode("nowarp", zero_policy)
     finally:
-        sim_env.warp_to_agent_frame = orig_warp
+        sim_env.warp_scene_maps = orig_warp
 
     print(f"\npolicy (guided sampling): {(full - zero)*1e3:8.1f} ms/episode")
     print(f"semantic map warp:        {(zero - nowarp)*1e3:8.1f} ms/episode")

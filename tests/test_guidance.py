@@ -113,6 +113,24 @@ def test_map_collision_loss():
     assert float(np.asarray(g[..., 1]).sum()) > 0  # dL/dy > 0 => descent lowers y
 
 
+def test_map_collision_prepacked_matches_jnp():
+    """The pallas bit-gather path on a pre-packed context (interpret mode)
+    produces the same loss values and gradients as the jnp gather path."""
+    from cld_tpu.ops.pallas_kernels import pack_drivable_bits
+
+    ctx = make_ctx()
+    ctx_packed = ctx._replace(drivable_packed=pack_drivable_bits(ctx.drivable_map))
+    x = straight_traj(y_off=6.9)
+    l_jnp = MapCollisionLoss(gather_impl="jnp")(x, ctx)
+    l_pal = MapCollisionLoss(gather_impl="pallas")(x, ctx_packed)
+    np.testing.assert_allclose(np.asarray(l_pal), np.asarray(l_jnp), rtol=1e-6)
+    g_jnp = jax.grad(lambda v: MapCollisionLoss(gather_impl="jnp")(v, ctx).sum())(x)
+    g_pal = jax.grad(
+        lambda v: MapCollisionLoss(gather_impl="pallas")(v, ctx_packed).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_jnp), rtol=1e-5, atol=1e-7)
+
+
 def test_target_pos_losses():
     ctx = make_ctx()
     x = straight_traj(speed=5.0)

@@ -127,6 +127,10 @@ def test_drivable_bit_gather_pallas_matches_ref():
         want = (np.asarray(drivable_gather_ref(pix, drv)) > 0).astype(np.float32)
         got = np.asarray(drivable_bit_gather_pallas(pix, drv, interpret=True))
         np.testing.assert_array_equal(got, want)
+        # the prepacked fast path (pack hoisted out of sampling scans)
+        got_pre = np.asarray(drivable_bit_gather_pallas(
+            pix, pack_drivable_bits(drv), interpret=True, prepacked=True))
+        np.testing.assert_array_equal(got_pre, want)
     # packing round-trip: byte 255 (all on) survives the int8 reinterpret
     allon = jnp.ones((1, 8, 8), jnp.float32)
     assert int(pack_drivable_bits(allon)[0, 0, 0]) == -1  # 0xFF as int8

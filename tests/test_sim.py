@@ -72,6 +72,29 @@ def test_warp_aligns_with_raster_from_agent():
     assert patch.max() == 1.0
 
 
+def test_warp_scene_maps_pallas_matches_jnp():
+    """The banded one-hot MXU warp (interpret mode) == the exact jnp warp
+    up to 8-bit quantization (identical index math, quantized values)."""
+    from cld_tpu.ops.raster import warp_scene_maps
+
+    rng = np.random.default_rng(3)
+    Ns, Hw, C, Na = 2, 256, 3, 5
+    # quantization-exact values (multiples of 1/255)
+    world = jnp.asarray(
+        rng.integers(0, 256, (Ns, Hw, Hw, C)).astype(np.float32) / 255.0
+    )
+    origin = jnp.asarray(np.full((Ns, 2), -Hw * 0.5 / 2, np.float32))
+    scene = jnp.asarray(rng.integers(0, Ns, Na).astype(np.int32))
+    pos = jnp.asarray(rng.uniform(-25, 25, (Na, 2)), jnp.float32)
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, Na), jnp.float32)
+    wfa = world_from_agent_matrix(pos, yaw)
+    kw = dict(raster_size=64, pixel_size=0.5, ego_center=(-0.5, 0.0))
+    ref = warp_scene_maps(world, origin, 0.5, wfa, scene, impl="jnp", **kw)
+    got = warp_scene_maps(world, origin, 0.5, wfa, scene, impl="pallas", **kw)
+    assert got.shape == (Na, 64, 64, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 def test_rasterize_history_marks():
     B, S, Th, R = 1, 2, 4, 64
     rfa = jnp.asarray(raster_from_agent_matrix(R, 0.5, (-0.5, 0.0)))[None]
