@@ -42,9 +42,12 @@ def dm_loss(
     t_rng, noise_rng = jax.random.split(rng)
     batch = z0.shape[0]
     t = jax.random.randint(t_rng, (batch,), 0, schedule.n_timesteps)
-    noise = jax.random.normal(noise_rng, z0.shape, z0.dtype)
+    # diffusion/loss math stays f32 even when the VAE encoder/denoiser
+    # compute in bf16 (mixed-precision invariant, CLAUDE.md)
+    z0 = z0.astype(jnp.float32)
+    noise = jax.random.normal(noise_rng, z0.shape, jnp.float32)
     z_noisy = q_sample(schedule, z0, t, noise)
-    eps_hat = denoise_fn(z_noisy, cond_feat, t)
+    eps_hat = denoise_fn(z_noisy, cond_feat, t).astype(jnp.float32)
     return jnp.mean((noise - eps_hat) ** 2)
 
 

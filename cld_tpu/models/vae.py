@@ -71,8 +71,13 @@ def vae_loss(
     gt_scaled: jnp.ndarray, recon_actions: jnp.ndarray, mu: jnp.ndarray,
     logvar: jnp.ndarray, beta: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Action-MSE + beta * KLD/(B*T) (`vae_model.py:89-99`)."""
-    recon = jnp.mean((gt_scaled[..., -2:] - recon_actions) ** 2)
+    """Action-MSE + beta * KLD/(B*T) (`vae_model.py:89-99`). Loss math is
+    f32 regardless of the network compute dtype (bf16-mixed training keeps
+    f32 loss/grad accumulation, like the reference's '16-mixed')."""
+    recon_actions = recon_actions.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    recon = jnp.mean((gt_scaled.astype(jnp.float32)[..., -2:] - recon_actions) ** 2)
     B, T, _ = mu.shape
     kld = -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar)) / (B * T)
     return recon + beta * kld, recon, kld

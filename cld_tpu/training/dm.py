@@ -21,7 +21,12 @@ from cld_tpu.data.batch import TrafficBatch
 from cld_tpu.models.temporal_unet import TemporalMapUnet
 from cld_tpu.models.vae import VaeModel
 from cld_tpu.ops.diffusion import make_schedule
-from cld_tpu.training.state import ema_update, make_optimizer, warmup_cosine_by_epoch
+from cld_tpu.training.state import (
+    ema_update,
+    make_optimizer,
+    resolve_compute_dtype,
+    warmup_cosine_by_epoch,
+)
 
 
 class DMTrainState(train_state.TrainState):
@@ -38,6 +43,9 @@ class DMTrainer:
         algo = config.algo
         tr = config.train.training
         self.algo = algo
+        # bf16 network compute on TPU ('16-mixed' parity); diffusion math
+        # stays f32 inside the samplers (algos/dm.py), params stay f32
+        dtype = resolve_compute_dtype(tr.get("precision", "auto"))
         self.vae = VaeModel(
             curr_state_feat_dim=algo.curr_state_feat_dim,
             map_feature_dim=algo.map_feature_dim,
@@ -47,6 +55,7 @@ class DMTrainer:
             vae_latent_size=algo.vae.latent_size,
             horizon=algo.horizon,
             dt=algo.step_time,
+            dtype=dtype,
         )
         self.vae_variables = vae_variables  # frozen: from the VAE checkpoint
         arch = algo.get("diffuser_model_arch", "TemporalMapUnet")
@@ -56,12 +65,14 @@ class DMTrainer:
                 output_dim=algo.vae.latent_size,
                 dim=algo.base_dim,
                 dim_mults=tuple(algo.dim_mults),
+                dtype=dtype,
             )
         elif arch == "MLPResNetwork":
             from cld_tpu.models.dm_mlp import MLPResDenoiser
 
             self.unet = MLPResDenoiser(
-                horizon=algo.horizon, transition_dim=algo.vae.latent_size
+                horizon=algo.horizon, transition_dim=algo.vae.latent_size,
+                dtype=dtype,
             )
         else:
             raise ValueError(f"unknown diffuser_model_arch {arch!r}")

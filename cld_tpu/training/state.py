@@ -24,6 +24,25 @@ class TrainStateWithStats(train_state.TrainState):
     batch_stats: Any = None
 
 
+def resolve_compute_dtype(precision: str = "auto") -> jnp.dtype:
+    """Network compute dtype for training (parameters stay f32 — flax
+    param_dtype — so this is true mixed precision like the reference's
+    Lightning `precision='16-mixed'`, `utils/trainer_utils.py:123`; bf16
+    needs no loss scaling). "auto" = bfloat16 on TPU, float32 elsewhere
+    (CPU tests stay bit-deterministic)."""
+    import jax
+
+    if precision in ("auto", None):
+        return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    return {
+        "bf16": jnp.bfloat16,
+        "bf16-mixed": jnp.bfloat16,
+        "16-mixed": jnp.bfloat16,
+        "fp32": jnp.float32,
+        "32": jnp.float32,
+    }[str(precision)]
+
+
 def warmup_cosine_by_epoch(
     base_lr: float, total_epochs: int, steps_per_epoch: int, warmup_epochs: float = 10
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:

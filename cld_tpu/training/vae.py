@@ -21,6 +21,7 @@ from cld_tpu.training.state import (
     BetaSchedule,
     TrainStateWithStats,
     make_optimizer,
+    resolve_compute_dtype,
     warmup_cosine_by_epoch,
 )
 
@@ -38,6 +39,9 @@ class VAETrainer:
             vae_latent_size=algo.vae.latent_size,
             horizon=algo.horizon,
             dt=algo.step_time,
+            # bf16 network compute on TPU ('16-mixed' parity); params and
+            # loss math stay f32 (models/vae.py:vae_loss)
+            dtype=resolve_compute_dtype(tr.get("precision", "auto")),
         )
         opt_cfg = algo.optim_params.vae
         self.lr_schedule = warmup_cosine_by_epoch(
