@@ -321,6 +321,45 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
     return Na * CL_STEPS / steady, steady
 
 
+def bench_ppo(cfg, dm_trainer, dm_state, batch):
+    """PPO-stage throughput: collection steps/s (100-NFE sample + decode +
+    reward + buffer add, N=num_samp action samples) and the full
+    3000-minibatch clipped-surrogate update phase (`guide_dm_trainer.py:
+    84-183`: 10 epochs x 300 iters of 128 — one UNet fwd+bwd each, here a
+    single lax.scan)."""
+    from cld_tpu.training.ppo import PPOTrainer, buffer_init
+
+    ppo = PPOTrainer(cfg, dm_trainer)
+    buf = buffer_init(
+        cfg.algo.buffer_max, cfg.algo.horizon, cfg.algo.vae.latent_size,
+        cfg.algo.cond_feat_dim,
+    )
+    results = {}
+    t0 = time.perf_counter()
+    buf, m = ppo.collect_step(dm_state, buf, batch, jax.random.key(30))
+    jax.block_until_ready(m["reward"])
+    log(f"ppo collect step compiled+warm in {time.perf_counter() - t0:.1f}s")
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        buf, m = ppo.collect_step(dm_state, buf, batch, jax.random.key(31 + i))
+    jax.block_until_ready(m["reward"])
+    results["ppo_collect_steps_per_sec"] = round(iters / (time.perf_counter() - t0), 2)
+
+    t0 = time.perf_counter()
+    dm_state2, loss = ppo.ppo_update(dm_state, buf, jax.random.key(40))
+    jax.block_until_ready(loss)
+    log(f"ppo update compiled+warm in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    dm_state2, loss = ppo.ppo_update(dm_state2, buf, jax.random.key(41))
+    jax.block_until_ready(loss)
+    wall = time.perf_counter() - t0
+    n_iters = ppo.ppo_epochs * ppo.update_times
+    results["ppo_update_phase_seconds"] = round(wall, 2)
+    results["ppo_update_iters_per_sec"] = round(n_iters / wall, 1)
+    return results
+
+
 def main():
     from cld_tpu.data.synthetic import synthetic_batch
     from cld_tpu.utils.config import default_config
@@ -352,6 +391,7 @@ def main():
     }
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
         extras.update(bench_train_steps(cfg, dm_trainer, dm_state, batch))
+        extras.update(bench_ppo(cfg, dm_trainer, dm_state, batch))
         log(f"train-step throughput: {extras}")
     if not SKIP_CLOSED_LOOP:
         cl_rate, cl_wall = bench_closed_loop(cfg, dm_trainer, dm_state)
