@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 from cld_tpu.data.batch import TrafficBatch
 from cld_tpu.models.learned_metric import PermuteEBM, ebm_infonce_loss
-from cld_tpu.training.state import TrainStateWithStats, make_optimizer
+from cld_tpu.training.state import (
+    TrainStateWithStats,
+    make_optimizer,
+    resolve_compute_dtype,
+)
 
 
 class EBMTrainer:
@@ -28,6 +32,9 @@ class EBMTrainer:
             map_feature_dim=algo.map_feature_dim,
             traj_feature_dim=algo.map_feature_dim,
             embedding_dim=algo.cond_feat_dim,
+            dtype=resolve_compute_dtype(
+                config.train.training.get("precision", "auto")
+            ),
         )
         opt_cfg = algo.optim_params.vae  # same family as the VAE stage
         self.optimizer = make_optimizer(

@@ -17,7 +17,7 @@ import optax
 
 from cld_tpu.data.batch import TrafficBatch
 from cld_tpu.models.gan import TrajectoryGAN
-from cld_tpu.training.state import make_optimizer
+from cld_tpu.training.state import make_optimizer, resolve_compute_dtype
 
 
 class GANTrainState(NamedTuple):
@@ -46,6 +46,9 @@ class GANTrainer:
             cond_feat_dim=algo.cond_feat_dim,
             map_arch=algo.map_encoder_model_arch,
             generator_arch=algo.get("gan_generator_arch", "mlp"),
+            dtype=resolve_compute_dtype(
+                config.train.training.get("precision", "auto")
+            ),
         )
         lr = algo.optim_params.vae.learning_rate.initial
         self.g_opt = make_optimizer(lr)

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from cld_tpu.data.batch import TrafficBatch
-from cld_tpu.training.state import TrainStateWithStats, make_optimizer
+from cld_tpu.training.state import (
+    TrainStateWithStats,
+    make_optimizer,
+    resolve_compute_dtype,
+)
 
 # name -> spec dict: model, loss_call(variables, batch, rng, train) ->
 # (loss, metrics, mutated_batch_stats_or_None), init_rngs
@@ -57,6 +61,9 @@ def _model_dims(cfg):
         dt=cfg.algo.step_time,
         cond_feat_dim=cfg.algo.cond_feat_dim,
         map_arch=cfg.algo.map_encoder_model_arch,
+        # bf16 network compute on TPU ('16-mixed' parity, as the stage
+        # trainers); params/losses stay f32
+        dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
 
@@ -131,6 +138,7 @@ def _transformer(cfg):
     model = TransformerTrajectoryPredictor(
         horizon=cfg.algo.horizon, dt=cfg.algo.step_time,
         width=cfg.algo.get("transformer_width", 64),
+        dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
     def loss_call(variables, batch, rng, train):
@@ -152,6 +160,7 @@ def _tree_vae(cfg):
         cond_feat_dim=cfg.algo.cond_feat_dim,
         map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
         dt=cfg.algo.step_time,
+        dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
     def loss_call(variables, batch, rng, train):
@@ -176,6 +185,7 @@ def _agent_predictor(cfg):
         cond_feat_dim=cfg.algo.cond_feat_dim,
         map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
         dyn=UnicycleParams.from_config(cfg.algo.dynamics),
+        dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
     def loss_call(variables, batch, rng, train):
@@ -199,6 +209,7 @@ def _bc_ec(cfg):
         map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
         dyn=UnicycleParams.from_config(cfg.algo.dynamics),
         ec_conditioning=True,
+        dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
     def loss_call(variables, batch, rng, train):
@@ -215,7 +226,10 @@ def _spatial_planner(cfg):
     over the raster via a skip-connected map UNet."""
     from cld_tpu.models.spatial_planner import SpatialPlannerNet
 
-    model = SpatialPlannerNet(arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0])
+    model = SpatialPlannerNet(
+        arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
+        dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
+    )
 
     def loss_call(variables, batch, rng, train):
         out, mut = _apply_with_stats(model, variables, batch, train=train)
@@ -235,6 +249,7 @@ def _occupancy(cfg):
         arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
         future_num_frames=cfg.algo.future_num_frames,
         every_n_frame=cfg.algo.get("occupancy_every_n_frame", 4),
+        dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
     def loss_call(variables, batch, rng, train):
