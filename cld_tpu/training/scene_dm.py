@@ -25,7 +25,11 @@ from cld_tpu.models.scene_transformer import SceneTransformerDenoiser
 from cld_tpu.ops.diffusion import make_schedule
 from cld_tpu.ops.dynamics import convert_state_to_state_and_action
 from cld_tpu.ops.normalization import TrajNormalizer
-from cld_tpu.training.state import make_optimizer, warmup_cosine_by_epoch
+from cld_tpu.training.state import (
+    make_optimizer,
+    resolve_compute_dtype,
+    warmup_cosine_by_epoch,
+)
 
 
 class SceneCondEncoder(nn.Module):
@@ -66,6 +70,7 @@ class SceneDMModel(nn.Module):
     cond_dim: int = 64
     width: int = 128
     num_layers: int = 4
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.cond_encoder = SceneCondEncoder(self.hist_steps, self.cond_dim)
@@ -74,6 +79,7 @@ class SceneDMModel(nn.Module):
             output_dim=self.transition_dim,
             width=self.width,
             num_layers=self.num_layers,
+            dtype=self.dtype,
         )
 
     def encode_cond(self, batch: SceneBatch) -> jnp.ndarray:
@@ -106,6 +112,7 @@ class SceneDMTrainer:
             cond_dim=algo.get("scene_cond_dim", 64),
             width=algo.get("scene_width", 128),
             num_layers=algo.get("scene_layers", 4),
+            dtype=resolve_compute_dtype(tr.get("precision", "auto")),
         )
         self.schedule = make_schedule(algo.n_diffusion_steps)
         opt_cfg = algo.optim_params.dm
