@@ -120,6 +120,14 @@ def make_perturbation_guidance(
     reference scales the clip threshold by the posterior sigma at step t,
     `models/diffuser.py:884-905`).
     """
+    # pre-pack the drivable map HERE, the choke point every guided ctx
+    # passes through before the sampling scan is traced — callers that
+    # forget prepack_drivable would otherwise re-pay the bit-pack inside
+    # every denoise step (XLA does not hoist it out of while loops).
+    # Idempotent when the caller already packed.
+    from cld_tpu.guidance.losses import prepack_drivable
+
+    ctx = prepack_drivable(ctx)
 
     def guidance_fn(mean: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         th = perturb_th

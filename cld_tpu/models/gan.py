@@ -132,6 +132,9 @@ class TrajectoryGAN(nn.Module):
         # least-squares GAN: D pushes real->1, fake->0; G pushes fake->1.
         # Gradient routing happens at the trainer: take grads of d_loss wrt
         # discriminator params and of g_loss wrt generator params.
+        # Loss math in f32 even under bf16 network compute (mixed precision)
+        d_real = d_real.astype(jnp.float32)
+        d_fake = d_fake.astype(jnp.float32)
         d_loss = 0.5 * jnp.mean((d_real - 1.0) ** 2) + 0.5 * jnp.mean(d_fake**2)
         g_loss = 0.5 * jnp.mean((d_fake - 1.0) ** 2)
         return {

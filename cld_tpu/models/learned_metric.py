@@ -75,7 +75,9 @@ class PermuteEBM(nn.Module):
 
 def ebm_infonce_loss(scores: jnp.ndarray) -> jnp.ndarray:
     """InfoNCE with diagonal labels (`learned_metrics.py:82-96`
-    compute_losses): each map should score its own trajectory highest."""
+    compute_losses): each map should score its own trajectory highest.
+    Log-softmax in f32 even under bf16 network compute (mixed precision)."""
+    scores = scores.astype(jnp.float32)
     B = scores.shape[0]
     labels = jnp.arange(B)
     return optax.softmax_cross_entropy_with_integer_labels(scores, labels).mean()

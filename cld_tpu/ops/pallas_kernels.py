@@ -237,6 +237,11 @@ def drivable_bit_gather_pallas(
     once outside the loop (XLA does not hoist the pack out of while loops)."""
     B, Q, _ = pix.shape
     if prepacked:
+        if drivable.dtype != jnp.int8:
+            raise TypeError(
+                "prepacked=True expects the int8 output of pack_drivable_bits; "
+                f"got dtype {drivable.dtype} — did you pass the raw map?"
+            )
         packed = drivable
     else:
         packed = pack_drivable_bits(drivable)  # [B, H, W8]

@@ -22,6 +22,47 @@ import jax.numpy as jnp
 from cld_tpu.ops.geometry import transform_points
 
 
+def _viewport_world_pixels(
+    world_from_agent: jnp.ndarray,
+    origins: jnp.ndarray,
+    world_map_resolution: float,
+    map_hw: Tuple[int, int],
+    raster_size: int,
+    pixel_size: float,
+    ego_center: Tuple[float, float],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World-map pixel queries for every viewport pixel of every agent.
+
+    The SINGLE source of the viewport index math — the exact jnp warp and
+    the banded pallas warp both call this, so their ego-center/rounding
+    conventions cannot diverge.
+
+    world_from_agent [B, 3, 3], origins [B, 2] (world coords of each
+    agent's map pixel (0, 0)) -> (ix, iy, valid), each [B, H*W] with
+    queries in raster row-major order; ix/iy UNCLAMPED consumers must clip.
+    """
+    H = W = raster_size
+    # same ego-center convention as raster_from_agent_matrix (and the
+    # reference, trajdata_utils.py:385-395): agent at ((1+e)/2)*size
+    cx = (1.0 + ego_center[0]) / 2.0 * raster_size
+    cy = (1.0 + ego_center[1]) / 2.0 * raster_size
+    xs = (jnp.arange(W, dtype=jnp.float32) - cx) * pixel_size
+    ys = (jnp.arange(H, dtype=jnp.float32) - cy) * pixel_size
+    gx, gy = jnp.meshgrid(xs, ys)  # [H, W] agent-frame meters
+    pts = jnp.stack([gx, gy], axis=-1).reshape(1, -1, 2)  # [1, H*W, 2]
+
+    B = world_from_agent.shape[0]
+    world_pts = transform_points(
+        jnp.broadcast_to(pts, (B, H * W, 2)), world_from_agent
+    )
+    wp = (world_pts - origins[:, None]) / world_map_resolution  # world pixels
+    ix = jnp.round(wp[..., 0]).astype(jnp.int32)
+    iy = jnp.round(wp[..., 1]).astype(jnp.int32)
+    Hw, Ww = map_hw
+    valid = (ix >= 0) & (ix < Ww) & (iy >= 0) & (iy < Hw)
+    return ix, iy, valid
+
+
 def warp_to_agent_frame(
     world_map: jnp.ndarray,
     world_from_agent: jnp.ndarray,
@@ -43,23 +84,13 @@ def warp_to_agent_frame(
         [B, raster_size, raster_size, C]
     """
     H = W = raster_size
-    scale = 1.0 / pixel_size
-    # same ego-center convention as raster_from_agent_matrix (and the
-    # reference, trajdata_utils.py:385-395): agent at ((1+e)/2)*size
-    cx = (1.0 + ego_center[0]) / 2.0 * raster_size
-    cy = (1.0 + ego_center[1]) / 2.0 * raster_size
-    xs = (jnp.arange(W, dtype=jnp.float32) - cx) / scale
-    ys = (jnp.arange(H, dtype=jnp.float32) - cy) / scale
-    gx, gy = jnp.meshgrid(xs, ys)  # [H, W] agent-frame meters
-    pts = jnp.stack([gx, gy], axis=-1).reshape(1, -1, 2)  # [1, H*W, 2]
-
     B = world_from_agent.shape[0]
-    world_pts = transform_points(jnp.broadcast_to(pts, (B, H * W, 2)), world_from_agent)
-    wp = (world_pts - world_map_origin) / world_map_resolution  # world pixels
-    ix = jnp.round(wp[..., 0]).astype(jnp.int32)
-    iy = jnp.round(wp[..., 1]).astype(jnp.int32)
     Hw, Ww = world_map.shape[:2]
-    valid = (ix >= 0) & (ix < Ww) & (iy >= 0) & (iy < Hw)
+    ix, iy, valid = _viewport_world_pixels(
+        world_from_agent,
+        jnp.broadcast_to(jnp.asarray(world_map_origin), (B, 2)),
+        world_map_resolution, (Hw, Ww), raster_size, pixel_size, ego_center,
+    )
     vals = world_map[jnp.clip(iy, 0, Hw - 1), jnp.clip(ix, 0, Ww - 1)]  # [B, H*W, C]
     vals = jnp.where(valid[..., None], vals, fill_value)
     return vals.reshape(B, H, W, -1)
@@ -141,20 +172,14 @@ def warp_scene_maps(
     NB = H // BH
     M = Na * NB
 
-    # --- queries: identical index math to warp_to_agent_frame ---
+    # queries: the shared viewport index math (same helper as the jnp warp)
+    ix, iy, valid = _viewport_world_pixels(
+        world_from_agent, map_origin[scene_index], res, (Hw, Ww),
+        raster_size, pixel_size, ego_center,
+    )  # [Na, H*W] each
+
     cx = (1.0 + ego_center[0]) / 2.0 * raster_size
     cy = (1.0 + ego_center[1]) / 2.0 * raster_size
-    xs = (jnp.arange(W, dtype=jnp.float32) - cx) * pixel_size
-    ys = (jnp.arange(H, dtype=jnp.float32) - cy) * pixel_size
-    gx, gy = jnp.meshgrid(xs, ys)  # [H, W] agent-frame meters
-    pts = jnp.stack([gx, gy], axis=-1).reshape(1, -1, 2)
-    world_pts = transform_points(
-        jnp.broadcast_to(pts, (Na, H * W, 2)), world_from_agent
-    )
-    wp = (world_pts - map_origin[scene_index][:, None]) / res
-    ix = jnp.round(wp[..., 0]).astype(jnp.int32)
-    iy = jnp.round(wp[..., 1]).astype(jnp.int32)
-    valid = (ix >= 0) & (ix < Ww) & (iy >= 0) & (iy < Hw)  # [Na, H*W]
 
     # --- per-(agent, band) windows around the band's world centroid ---
     band_cy = (jnp.arange(NB, dtype=jnp.float32) + 0.5) * BH

@@ -34,13 +34,25 @@ def resolve_compute_dtype(precision: str = "auto") -> jnp.dtype:
 
     if precision in ("auto", None):
         return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    return {
+    table = {
         "bf16": jnp.bfloat16,
         "bf16-mixed": jnp.bfloat16,
+        "bf16-true": jnp.bfloat16,
+        # fp16 spellings map to bf16: same mixed-precision class, and bf16
+        # is the native TPU half type (no loss scaling needed)
+        "16": jnp.bfloat16,
         "16-mixed": jnp.bfloat16,
         "fp32": jnp.float32,
         "32": jnp.float32,
-    }[str(precision)]
+        "32-true": jnp.float32,
+    }
+    key = str(precision)
+    if key not in table:
+        raise ValueError(
+            f"unknown train.training.precision {precision!r}; "
+            f"accepted: 'auto', {sorted(table)}"
+        )
+    return table[key]
 
 
 def warmup_cosine_by_epoch(
