@@ -24,6 +24,13 @@ import os
 import time
 
 import jax
+
+# honor JAX_PLATFORMS explicitly: the axon TPU plugin overrides the env var
+# (CLAUDE.md), so `JAX_PLATFORMS=cpu python rollout.py ...` would silently
+# land on (or hang waiting for) the TPU without this
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,6 +22,13 @@ import os
 import time
 
 import jax
+
+# honor JAX_PLATFORMS explicitly: the axon TPU plugin overrides the env var
+# (CLAUDE.md), so `JAX_PLATFORMS=cpu python train.py ...` would silently
+# land on (or hang waiting for) the TPU without this
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from cld_tpu.data.loader import make_loader
@@ -394,6 +401,10 @@ def main():
                              "mid-training: params + optimizer moments + "
                              "step counter (Lightning ckpt_path resume, "
                              "trainer_utils.py:95-105)")
+    parser.add_argument("--precision", type=str, default=None,
+                        help="network compute dtype: auto (bf16 on TPU, f32 "
+                             "elsewhere — the reference's '16-mixed'), bf16, "
+                             "or fp32; params/losses always stay f32")
     args = parser.parse_args()
 
     if args.registered_name:
@@ -404,6 +415,10 @@ def main():
             cfg = load_config(args.config, base=cfg.unlock())
     else:
         cfg = load_config(args.config) if args.config else default_config().lock()
+    if args.precision is not None:
+        cfg.unlock()
+        cfg.train.training.precision = args.precision
+        cfg.lock()
     mode = args.mode or cfg.train.mode
     print(f"mode={mode} devices={jax.device_count()} backend={jax.default_backend()}")
     if mode == "vae":
