@@ -84,6 +84,7 @@ def render_scene_rollout(
     out_path: Optional[str] = None,
     scene: int = 0,
     upto_step: Optional[int] = None,
+    figsize: float = 8.0,
 ):
     """World-frame rollout plot: drivable map + per-agent trajectories
     (controlled solid, replay dashed)."""
@@ -97,7 +98,7 @@ def render_scene_rollout(
     res = pack.map_resolution
     Hw, Ww = world_map.shape[:2]
 
-    fig, ax = plt.subplots(figsize=(8, 8))
+    fig, ax = plt.subplots(figsize=(figsize, figsize))
     extent = [origin[0], origin[0] + Ww * res, origin[1], origin[1] + Hw * res]
     ax.imshow(
         0.25 + 0.5 * world_map[..., 0], origin="lower", extent=extent,
@@ -119,15 +120,19 @@ def render_scene_rollout(
 
 
 def save_rollout_gif(
-    pack, trajectories: np.ndarray, out_path: str, scene: int = 0, stride: int = 5
+    pack, trajectories: np.ndarray, out_path: str, scene: int = 0,
+    stride: int = 5, figsize: float = 8.0,
 ):
-    """Animated rollout GIF (`vis_utils.py:373` video export equivalent)."""
+    """Animated rollout GIF (`vis_utils.py:373` video export equivalent).
+    ``stride`` mirrors the reference's --save_every_n_frames."""
     from PIL import Image
 
     frames = []
     T = np.asarray(trajectories).shape[0]
     for t in range(stride, T + 1, stride):
-        fig = render_scene_rollout(pack, trajectories, scene=scene, upto_step=t)
+        fig = render_scene_rollout(
+            pack, trajectories, scene=scene, upto_step=t, figsize=figsize
+        )
         fig.canvas.draw()
         buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
         frames.append(Image.fromarray(buf))

@@ -296,6 +296,12 @@ def main():
     parser.add_argument("--output", type=str, default="rollout_out")
     parser.add_argument("--render", action="store_true",
                         help="save scene PNG + GIF renders")
+    parser.add_argument("--save-every-n-frames", type=int, default=5,
+                        help="GIF frame stride (reference rollout.py "
+                             "--save_every_n_frames)")
+    parser.add_argument("--render-size", type=float, default=8.0,
+                        help="render figure size in inches (reference "
+                             "--render_size analogue)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -505,10 +511,12 @@ def main():
             render_scene_rollout(
                 pack, np.asarray(traj), scene=s,
                 out_path=os.path.join(args.output, f"scene_{s:03d}.png"),
+                figsize=args.render_size,
             )
             save_rollout_gif(
                 pack, np.asarray(traj),
                 os.path.join(args.output, f"scene_{s:03d}.gif"), scene=s,
+                stride=args.save_every_n_frames, figsize=args.render_size,
             )
         print(f"saved renders -> {args.output}/scene_*.png/gif")
 
