@@ -131,6 +131,50 @@ def test_map_collision_prepacked_matches_jnp():
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_jnp), rtol=1e-5, atol=1e-7)
 
 
+def test_make_perturbation_guidance_prepacks_on_tpu_only():
+    """The guidance choke point pre-packs the drivable map exactly when the
+    pallas bit-gather will consume it (TPU backend); on CPU it is a no-op,
+    and a second application is idempotent either way."""
+    from cld_tpu.guidance.losses import prepack_drivable
+
+    ctx = make_ctx()
+    # CPU backend (tests force it): prepack is a no-op
+    assert prepack_drivable(ctx).drivable_packed is None
+    # idempotence with an already-filled field
+    from cld_tpu.ops.pallas_kernels import pack_drivable_bits
+
+    packed = pack_drivable_bits(ctx.drivable_map)
+    ctx2 = ctx._replace(drivable_packed=packed)
+    assert prepack_drivable(ctx2).drivable_packed is packed
+
+
+def test_resolve_compute_dtype_spellings():
+    import jax.numpy as jnp
+    import pytest
+
+    from cld_tpu.training.state import resolve_compute_dtype
+
+    assert resolve_compute_dtype("auto") == jnp.float32  # CPU backend here
+    assert resolve_compute_dtype("bf16-mixed") == jnp.bfloat16
+    assert resolve_compute_dtype("16-mixed") == jnp.bfloat16
+    assert resolve_compute_dtype("fp32") == jnp.float32
+    with pytest.raises(ValueError, match="precision"):
+        resolve_compute_dtype("float8")
+
+
+def test_bit_gather_prepacked_rejects_raw_map():
+    import pytest
+
+    from cld_tpu.ops.pallas_kernels import drivable_bit_gather_pallas
+
+    ctx = make_ctx()
+    pix = jnp.zeros((3, 8, 2), jnp.int32)
+    with pytest.raises(TypeError, match="pack_drivable_bits"):
+        drivable_bit_gather_pallas(
+            pix, ctx.drivable_map, interpret=True, prepacked=True
+        )
+
+
 def test_target_pos_losses():
     ctx = make_ctx()
     x = straight_traj(speed=5.0)
