@@ -95,16 +95,23 @@ class RangeValidator:
         return ValidatorOutput(failed.size == 0, failed.tolist())
 
 
+# l5kit metrics.py:196-215 SimulatedDrivenMilesMetric conversion constant
+METER_TO_MILES = 0.000621371
+
+
 @dataclasses.dataclass(frozen=True)
 class DrivenMilesCompositeMetric:
     """Total driven miles from per-frame displacements
-    (`composite_metrics.py:106-135`)."""
+    (`composite_metrics.py:106-135`); displacements are meters, the
+    composite converts with l5kit's METER_TO_MILES."""
 
     composite_metric_name: str = "driven_miles"
     displacement_metric: str = "displacement"
 
     def compute(self, metric_results, validation_results) -> float:
-        return float(np.sum(metric_results[self.displacement_metric]))
+        return float(
+            np.sum(metric_results[self.displacement_metric]) * METER_TO_MILES
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,7 +131,7 @@ class PassedDrivenMilesCompositeMetric:
             out = validation_results[name]
             if out.failed_frames:
                 ok[min(out.failed_frames):] = False
-        return float(np.sum(disp * ok))
+        return float(np.sum(disp * ok) * METER_TO_MILES)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,16 +167,11 @@ def displacement_series(pack: ScenePack, traj: jnp.ndarray, cfg: SimConfig):
 
 def offroad_series(pack: ScenePack, traj: jnp.ndarray, cfg: SimConfig):
     """1.0 where the agent center is off the drivable map (vectorized over
-    the whole [T, Na] log in one gather)."""
-    T, Na = traj.shape[:2]
-    origin = pack.map_origin[pack.scene_index]  # [Na, 2]
-    wp = (traj[..., :2] - origin[None]) / pack.map_resolution
-    Hw, Ww = pack.world_map.shape[1:3]
-    ix = jnp.clip(jnp.round(wp[..., 0]).astype(jnp.int32), 0, Ww - 1)
-    iy = jnp.clip(jnp.round(wp[..., 1]).astype(jnp.int32), 0, Hw - 1)
-    scene = jnp.broadcast_to(pack.scene_index[None], (T, Na))
-    vals = pack.world_map[scene, iy, ix, 0]
-    return (vals <= 0).astype(jnp.float32)
+    the whole [T, Na] log in one gather — the sim scan's lookup convention,
+    sim/env.py:drivable_at_world)."""
+    from cld_tpu.sim.env import drivable_at_world
+
+    return (drivable_at_world(pack, traj[..., :2]) <= 0).astype(jnp.float32)
 
 
 def collision_series(pack: ScenePack, traj: jnp.ndarray, cfg: SimConfig):

@@ -180,6 +180,7 @@ def contingency_plan(
     agent_extent: jnp.ndarray,  # [Nobs, 2]
     drivable_map: jnp.ndarray,  # [H, W]
     raster_from_agent: jnp.ndarray,  # [3, 3]
+    curr_speed: Optional[jnp.ndarray] = None,  # scalar v0 (progress ref)
 ) -> Dict[str, jnp.ndarray]:
     """Stage-wise dynamic program over the ego x scenario trees
     (`contingency_planning`, planning_utils.py:259-385): V at the leaves is
@@ -188,7 +189,11 @@ def contingency_plan(
     child under the stage-1 mode distribution."""
     K, S, F = cfg.K, cfg.stages, cfg.frames_per_stage
     Ma = cfg.num_modes
-    d_sat = jnp.clip(ego_tiled[0, 0, 2], 2.0, None) * F * cfg.dt
+    # progress saturation from the CURRENT speed (planning_utils.py:
+    # v0 = ego_root.traj[0, 2]); ego_tiled[0, 0, 2] is already one braking
+    # step in, which would bias the saturation low
+    v0 = ego_tiled[0, 0, 2] if curr_speed is None else curr_speed
+    d_sat = jnp.clip(v0, 2.0, None) * F * cfg.dt
 
     def stage_loss(t):
         """L_t [K^(t+1), Ma^(t+1)] on representative tiled rows."""
@@ -250,22 +255,28 @@ def contingency_plan(
     }
 
 
-def _cv_modes(obs: TrafficBatch, cfg: ContingencyConfig) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Scenario tree from constant-velocity neighbor predictions with a
-    braking mode — a stand-in for the learned multi-mode predictor the
-    reference conditions its scenario tree on (hardcoded.py:286-420).
-    Returns (modes [Ma^S, Nobs, T, 2], prob [Ma^S], mask [Nobs])."""
+def _cv_modes(obs: TrafficBatch, cfg: ContingencyConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Constant-velocity neighbor predictions — the base trajectories from
+    which `contingency_policy` builds its keep-CV/brake scenario tree (a
+    stand-in for the learned multi-mode predictor the reference conditions
+    its tree on, hardcoded.py:286-420).
+    Returns (pred [B, Nobs, T, 2], mask [B, Nobs])."""
     from cld_tpu.policies.mpc import _cv_predict_neighbors
 
-    T = cfg.horizon
-    pred, mask = _cv_predict_neighbors(obs, T, cfg.dt)  # [B, S, T, 2] — per batch
-    return pred, mask
+    return _cv_predict_neighbors(obs, cfg.horizon, cfg.dt)
 
 
 def contingency_policy(cfg: ContingencyConfig = ContingencyConfig()):
     """Build the contingency-planner policy `(obs, rng) -> Action`
     (`ContingencyPlanner.get_action`, hardcoded.py:286-650)."""
     Ma, S, T = cfg.num_modes, cfg.stages, cfg.horizon
+
+    if Ma > 2:
+        raise ValueError(
+            f"num_modes={Ma}: only 2 base scenario modes exist (keep-CV and "
+            "brake); higher mode counts would silently duplicate the brake "
+            "mode via clamped gathers"
+        )
 
     def policy(obs: TrafficBatch, rng) -> Action:
         B = obs.curr_speed.shape[0]
@@ -295,7 +306,9 @@ def contingency_policy(cfg: ContingencyConfig = ContingencyConfig()):
 
         def plan_one(c, am, m, ee, ae, dm, rfa):
             ego = build_ego_tree(cfg, c)
-            out = contingency_plan(cfg, ego, am, prob, m, ee, ae, dm, rfa)
+            out = contingency_plan(
+                cfg, ego, am, prob, m, ee, ae, dm, rfa, curr_speed=c[2]
+            )
             return out["plan"]
 
         agent_ext = jnp.broadcast_to(jnp.array([4.5, 2.0]), mask.shape + (2,))

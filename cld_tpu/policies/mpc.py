@@ -49,9 +49,15 @@ class MPCConfig:
 
 
 def _smoothmax(x, y, gamma: float = 10.0):
-    """softmax(x, y) from ftocp.py:163-166 — smooth max used in the
-    velocity-dependent steering limit."""
-    return jnp.logaddexp(gamma * x, gamma * y) / gamma
+    """softmax(x, y) from ftocp.py:163-166: the softmax-WEIGHTED MEAN
+    (exp(gx)*x + exp(gy)*y)/(exp(gx) + exp(gy)) — always <= max(x, y),
+    unlike log-sum-exp which overshoots near the crossover. Stabilized by
+    subtracting the max exponent."""
+    gx, gy = gamma * x, gamma * y
+    m = jnp.maximum(gx, gy)
+    ex = jnp.exp(gx - m)
+    ey = jnp.exp(gy - m)
+    return (ex * x + ey * y) / (ex + ey)
 
 
 def _rollout_branch(x0, u0, ubr, dt):
@@ -187,8 +193,13 @@ def lane_ref(
     """Desired trajectory along the lane — static-shape `obtain_ref`
     (`planning_utils.py:389-433`): for each future step's arc target
     s_k = vdes*k*dt, pick the lane point whose chord distance from the
-    projection point best matches s_k (soft-assigned), yielding [N, 3]
-    (x, y, v)."""
+    projection point best matches s_k (soft-assigned), yielding ([N, 3]
+    (x, y, v), usable [] bool). ``usable`` is False when no available lane
+    point lies ahead (agent past the lane end) — callers fall back to the
+    straight reference then. Masked rows may carry NaN/inf padding; they
+    are zero-filled before any arithmetic (0 * NaN would poison the
+    soft-assignment matmul)."""
+    lane_points = jnp.where(lane_avail[:, None], lane_points, 0.0)
     d0 = jnp.linalg.norm(lane_points[:, :2] - pos[None], axis=-1)
     d0 = jnp.where(lane_avail, d0, jnp.inf)
     i0 = jnp.argmin(d0)
@@ -203,7 +214,8 @@ def lane_ref(
     err = jnp.where(ok[None], err, 1e9)
     w = jax.nn.softmax(-4.0 * err, axis=-1)
     xy = w @ lane_points[:, :2]  # [N, 2]
-    return jnp.concatenate([xy, jnp.full((N, 1), vdes)], axis=-1)
+    ref = jnp.concatenate([xy, jnp.full((N, 1), vdes)], axis=-1)
+    return ref, jnp.any(ok)
 
 
 def _cv_predict_neighbors(obs: TrafficBatch, N: int, dt: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -236,24 +248,26 @@ def mpc_policy(cfg: MPCConfig = MPCConfig(), vdes_bounds: Tuple[float, float] = 
         N, dt = cfg.N, cfg.dt
         vdes = jnp.clip(curr[:, 2], *vdes_bounds)
 
+        # straight constant-speed reference: the fallback whenever no lane
+        # context exists OR an agent has no usable lane point ahead
+        s1 = vdes[:, None] * jnp.arange(1, N + 1)[None] * dt  # [B, N]
+        xdes = jnp.stack(
+            [
+                curr[:, 0:1] + jnp.cos(curr[:, 3:4]) * s1,
+                curr[:, 1:2] + jnp.sin(curr[:, 3:4]) * s1,
+                jnp.broadcast_to(vdes[:, None], s1.shape),
+            ],
+            axis=-1,
+        )
         if obs.lane_points is not None:
             la = (
                 obs.lane_avail if obs.lane_avail is not None
                 else jnp.isfinite(obs.lane_points).all(-1)
             )
-            xdes = jax.vmap(lambda lp, av, p, v: lane_ref(lp, av, p, v, N, dt))(
-                obs.lane_points, la, curr[:, :2], vdes
-            )
-        else:
-            s1 = vdes[:, None] * jnp.arange(1, N + 1)[None] * dt  # [B, N]
-            xdes = jnp.stack(
-                [
-                    curr[:, 0:1] + jnp.cos(curr[:, 3:4]) * s1,
-                    curr[:, 1:2] + jnp.sin(curr[:, 3:4]) * s1,
-                    jnp.broadcast_to(vdes[:, None], s1.shape),
-                ],
-                axis=-1,
-            )
+            lane_xdes, usable = jax.vmap(
+                lambda lp, av, p, v: lane_ref(lp, av, p, v, N, dt)
+            )(obs.lane_points, la, curr[:, :2], vdes)
+            xdes = jnp.where(usable[:, None, None], lane_xdes, xdes)
 
         ypred, mask = _cv_predict_neighbors(obs, N, dt)  # [B, S, N, 2]
         ypred = jnp.repeat(ypred[:, :, None], cfg.M, axis=2)  # [B, S, M, N, 2]

@@ -103,8 +103,11 @@ def init_sim_state(pack: ScenePack, cfg: SimConfig) -> SimState:
     )
 
 
-def _drivable_at_world(pack: ScenePack, pos: jnp.ndarray) -> jnp.ndarray:
-    """pos [Na, 2] world -> drivable {0,1} from each agent's scene map."""
+def drivable_at_world(pack: ScenePack, pos: jnp.ndarray) -> jnp.ndarray:
+    """pos [..., Na, 2] world -> drivable {0,1} from each agent's scene map
+    (leading batch dims broadcast; the single source of the world-map
+    origin/round/clip/channel-0 lookup convention — the sim scan and the
+    CLE offroad validator both use it)."""
     origin = pack.map_origin[pack.scene_index]  # [Na, 2]
     wp = (pos - origin) / pack.map_resolution
     Hw, Ww = pack.world_map.shape[1:3]
@@ -188,6 +191,20 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         - yaw[:, None, None]
     )
 
+    # closest lane points in the agent frame — the closed-loop analogue of
+    # the reference's extras["closest_lane_point"] (configs/datamodules.py:
+    # 53-59); consumed by the MPC's lane-tracking reference and the
+    # lane_following guidance rule
+    lane_pts = lane_av = None
+    if pack.lane_points is not None:
+        from cld_tpu.ops.lanes import closest_lane_points
+
+        lane_pts, lane_av = closest_lane_points(
+            pack.lane_points[pack.scene_index],
+            pack.lane_avail[pack.scene_index],
+            pos, yaw, a_from_w,
+        )
+
     return TrafficBatch(
         image=image,
         drivable_map=sem[..., 0],
@@ -210,6 +227,8 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         scene_index=pack.scene_index,
         history_speeds=state.history[:, :, 2],
         sim_step=state.step,
+        lane_points=lane_pts,
+        lane_avail=lane_av,
     )
 
 
@@ -237,7 +256,7 @@ def _consume_actions(
         new_states = unicycle_step(cfg.dyn, st.states, u, cfg.dt, bound=True)
 
         # metrics
-        drivable = _drivable_at_world(pack, new_states[:, :2])
+        drivable = drivable_at_world(pack, new_states[:, :2])
         offroad = (drivable <= 0).astype(jnp.float32)
         pos = new_states[:, :2]
         dist = jnp.linalg.norm(pos[:, None] - pos[None], axis=-1)

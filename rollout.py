@@ -124,21 +124,11 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                     [hp_w, obs.history_speeds[..., None],
                      obs.history_yaws + dyaw[:, None, None]], axis=-1,
                 )
-            # per-step closest-lane query against the scene's lane
-            # centerlines (ops/lanes.py; the closed-loop analogue of the
-            # reference's extras["closest_lane_point"])
-            lane_pts = lane_av = None
-            if pack.lane_points is not None and obs.agent_from_world is not None:
-                from cld_tpu.ops.lanes import closest_lane_points
-
-                sidx = obs.scene_index if obs.scene_index is not None else pack.scene_index
-                lane_pts, lane_av = closest_lane_points(
-                    pack.lane_points[sidx],
-                    pack.lane_avail[sidx],
-                    w_from_a[:, :2, 2],
-                    jnp.arctan2(w_from_a[:, 1, 0], w_from_a[:, 0, 0]),
-                    obs.agent_from_world,
-                )
+            # per-replan closest-lane context (the closed-loop analogue of
+            # the reference's extras["closest_lane_point"]) — queried once
+            # by render_observation (sim/env.py) and shared by the guidance
+            # rules and the MPC's lane-tracking reference
+            lane_pts, lane_av = obs.lane_points, obs.lane_avail
             ctx = prepack_drivable(GuidanceContext(
                 drivable_map=obs.drivable_map,
                 raster_from_agent=obs.raster_from_agent,

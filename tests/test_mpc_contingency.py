@@ -81,12 +81,29 @@ def test_lane_ref_follows_lane():
     lane = np.zeros((L, 3), np.float32)
     lane[:, 0] = np.linspace(-10, 50, L)
     lane[:, 1] = 2.0
-    ref = np.asarray(lane_ref(jnp.asarray(lane), jnp.ones(L, bool),
-                              jnp.zeros(2), jnp.asarray(5.0), N=10, dt=0.1))
+    ref, usable = lane_ref(jnp.asarray(lane), jnp.ones(L, bool),
+                           jnp.zeros(2), jnp.asarray(5.0), N=10, dt=0.1)
+    ref = np.asarray(ref)
+    assert bool(usable)
     assert ref.shape == (10, 3)
     np.testing.assert_allclose(ref[:, 1], 2.0, atol=0.3)  # on the lane
     assert (np.diff(ref[:, 0]) > 0).all()  # moving forward along it
     np.testing.assert_allclose(ref[:, 2], 5.0)
+    # NaN padding in masked rows must not poison the soft assignment
+    lane_nan = lane.copy()
+    lane_nan[L // 2:] = np.nan
+    avail = np.zeros(L, bool)
+    avail[: L // 2] = True
+    ref2, usable2 = lane_ref(jnp.asarray(lane_nan), jnp.asarray(avail),
+                             jnp.zeros(2), jnp.asarray(5.0), N=10, dt=0.1)
+    assert bool(usable2)
+    assert np.isfinite(np.asarray(ref2)).all()
+    # no available lane points at all (e.g. agent beyond max_dist of every
+    # centerline) -> usable=False and the caller falls back to the straight
+    # reference instead of averaging zero-filled padding toward the origin
+    _, usable3 = lane_ref(jnp.asarray(lane), jnp.zeros(L, bool),
+                          jnp.zeros(2), jnp.asarray(5.0), N=10, dt=0.1)
+    assert not bool(usable3)
 
 
 def test_mpc_policy_runs_on_batch():

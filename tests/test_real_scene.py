@@ -42,9 +42,9 @@ def test_scene_pack_from_batches_shapes_and_world():
     assert 0.02 < driv.mean() < 0.98
     # agents start on the drivable region of their own stitched map
     st = init_sim_state(pack, SimConfig(num_simulation_steps=30, raster_size=64))
-    from cld_tpu.sim.env import _drivable_at_world
+    from cld_tpu.sim.env import drivable_at_world
 
-    on_road = np.asarray(_drivable_at_world(pack, pack.init_states[:, :2]))
+    on_road = np.asarray(drivable_at_world(pack, pack.init_states[:, :2]))
     assert (on_road > 0).all()
     # scene indices densified
     np.testing.assert_array_equal(np.asarray(pack.scene_index), [0, 0, 1, 1])
