@@ -95,11 +95,25 @@ class MultiHostPackedLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
     ):
+        # flat datasets (meta.json at the root, no split subdirs) are
+        # legitimate and load whole; but when split subdirs exist, a name
+        # that matches none of them must error — silently reading the root
+        # would evaluate on training data
         split_path = os.path.join(path, split)
-        self.ds = PackedShardDataset(
-            split_path if os.path.isdir(split_path) else path,
-            num_threads=num_threads,
-        )
+        if os.path.isdir(split_path):
+            ds_path = split_path
+        elif os.path.isfile(os.path.join(path, "meta.json")):
+            ds_path = path
+        else:
+            subdirs = sorted(
+                d for d in os.listdir(path)
+                if os.path.isdir(os.path.join(path, d))
+            ) if os.path.isdir(path) else []
+            raise FileNotFoundError(
+                f"no split {split!r} under {path!r} and no flat dataset "
+                f"(meta.json) at the root; available subdirs: {subdirs}"
+            )
+        self.ds = PackedShardDataset(ds_path, num_threads=num_threads)
         self.mesh = mesh
         self.axis_name = axis_name
         self.sharding = NamedSharding(mesh, P(axis_name))
