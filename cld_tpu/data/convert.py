@@ -22,6 +22,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import zlib
 
 import numpy as np
 
@@ -88,9 +89,11 @@ def _closest_lane_point_extra(
         for i, lane in enumerate(lanes):
             pts = np.asarray(lane.center.points)  # [P, 4+] (x, y, z, h)
             xyh_w = pts[:, [0, 1, 3]]
+            dh = xyh_w[:, 2] - yaw_w
+            dh = np.abs(np.arctan2(np.sin(dh), np.cos(dh)))  # wrap across +-pi
             score = dist_weight * np.linalg.norm(
                 xyh_w[:, :2] - pos_w, axis=-1
-            ) + heading_weight * np.abs(xyh_w[:, 2] - yaw_w)
+            ) + heading_weight * dh
             order = np.argsort(score)
             xy_a = xyh_w[order, :2] @ a_from_w[:2, :2].T + a_from_w[:2, 2]
             h_a = xyh_w[order, 2] + np.arctan2(a_from_w[1, 0], a_from_w[0, 0])
@@ -244,8 +247,14 @@ def convert_nuscenes(
         a_from_w = np.nan_to_num(raw["agents_from_world_tf"].numpy()).astype(np.float32)
         push("world_from_agent", np.linalg.inv(a_from_w))
         scene_ids = raw["scene_ids"]
+        # stable digest, NOT Python's salted str hash: shards must assign
+        # the same scene_index to the same scene across runs/processes so
+        # converted splits can be grouped/joined reproducibly
         fields.setdefault("scene_index", []).append(
-            np.asarray([abs(hash(str(s))) % (2**31) for s in scene_ids], np.int64)
+            np.asarray(
+                [zlib.crc32(str(s).encode()) % (2**31) for s in scene_ids],
+                np.int64,
+            )
         )
         fields.setdefault("scene_ts", []).append(
             np.asarray(raw["scene_ts"].numpy(), np.int64)

@@ -44,8 +44,17 @@ def get_composer(name: str):
     return COMPOSER_REGISTRY[name]
 
 
-def _init_or_restore(model, sample_obs, rng, ckpt: Optional[str], rngs=None):
-    variables = model.init(rngs or {"params": rng}, sample_obs)
+def _init_or_restore(model, sample_obs, rng, ckpt: Optional[str], rngs=None,
+                     **init_kwargs):
+    """Jitted flax init + optional checkpoint restore — the ONE init path
+    for composers. Jit matters: eager init on the tunnel TPU dispatches
+    thousands of ~100 ms constant-op RPCs (CLAUDE.md; VAETrainer.init_state
+    has the same note). Every composer that takes a checkpoint must come
+    through here so the restore can't be forgotten."""
+    rngs = rngs or {"params": rng}
+    variables = jax.jit(lambda r, o: model.init(r, o, **init_kwargs))(
+        rngs, sample_obs
+    )
     if ckpt:
         from cld_tpu.training.checkpoints import restore_pytree
 
@@ -160,11 +169,10 @@ def _cvae_sampler(cfg, pack, sim_cfg, ckpts, rng, num_samp, discrete=False):
               cond_feat_dim=cfg.algo.cond_feat_dim,
               map_arch=cfg.algo.map_encoder_model_arch)
     obs = _sample_obs(pack, sim_cfg)
-    variables = model.init({"params": rng, "sample": rng}, obs, train=False)
-    if (ckpts or {}).get("policy"):
-        from cld_tpu.training.checkpoints import restore_pytree
-
-        variables = restore_pytree(ckpts["policy"], like=variables)
+    variables = _init_or_restore(
+        model, obs, rng, (ckpts or {}).get("policy"),
+        rngs={"params": rng, "sample": rng}, train=False,
+    )
 
     def sampler(o, r):
         return model.apply(
@@ -201,11 +209,10 @@ def _tpp(cfg, pack, sim_cfg, ckpts=None, rng=None):
                                    cond_feat_dim=cfg.algo.cond_feat_dim,
                                    map_arch=cfg.algo.map_encoder_model_arch)
     obs = _sample_obs(pack, sim_cfg)
-    variables = model.init({"params": rng, "sample": rng}, obs, train=False)
-    if (ckpts or {}).get("policy"):
-        from cld_tpu.training.checkpoints import restore_pytree
-
-        variables = restore_pytree(ckpts["policy"], like=variables)
+    variables = _init_or_restore(
+        model, obs, rng, (ckpts or {}).get("policy"),
+        rngs={"params": rng, "sample": rng}, train=False,
+    )
 
     def policy(o, r):
         modes = model.apply(variables, o, method="sample_modes")  # [B, K, T, 6]
@@ -224,7 +231,10 @@ def _tpp_plan(cfg, pack, sim_cfg, ckpts=None, rng=None):
                                    cond_feat_dim=cfg.algo.cond_feat_dim,
                                    map_arch=cfg.algo.map_encoder_model_arch)
     obs = _sample_obs(pack, sim_cfg)
-    variables = model.init({"params": rng, "sample": rng}, obs, train=False)
+    variables = _init_or_restore(
+        model, obs, rng, (ckpts or {}).get("policy"),
+        rngs={"params": rng, "sample": rng}, train=False,
+    )
 
     def sampler(o, r):
         return model.apply(variables, o, method="sample_modes")
@@ -242,11 +252,10 @@ def _gan(cfg, pack, sim_cfg, ckpts=None, rng=None):
                           cond_feat_dim=cfg.algo.cond_feat_dim,
                           map_arch=cfg.algo.map_encoder_model_arch)
     obs = _sample_obs(pack, sim_cfg)
-    variables = model.init({"params": rng, "sample": rng}, obs, train=False)
-    if (ckpts or {}).get("policy"):
-        from cld_tpu.training.checkpoints import restore_pytree
-
-        variables = restore_pytree(ckpts["policy"], like=variables)
+    variables = _init_or_restore(
+        model, obs, rng, (ckpts or {}).get("policy"),
+        rngs={"params": rng, "sample": rng}, train=False,
+    )
 
     def policy(o, r):
         traj, _ = model.apply(
@@ -267,7 +276,10 @@ def _gan_plan(cfg, pack, sim_cfg, ckpts=None, rng=None):
                           cond_feat_dim=cfg.algo.cond_feat_dim,
                           map_arch=cfg.algo.map_encoder_model_arch)
     obs = _sample_obs(pack, sim_cfg)
-    variables = model.init({"params": rng, "sample": rng}, obs, train=False)
+    variables = _init_or_restore(
+        model, obs, rng, (ckpts or {}).get("policy"),
+        rngs={"params": rng, "sample": rng}, train=False,
+    )
 
     def sampler(o, r):
         traj, _ = model.apply(
@@ -398,15 +410,21 @@ def _diffuser_policy(cfg, pack, sim_cfg, ckpts, rng, guided: bool):
         cond_feat_dim=cfg.algo.cond_feat_dim,
         map_arch=cfg.algo.map_encoder_model_arch,
     )
-    enc_vars = enc.init({"params": rng}, obs)
+    enc_vars = _init_or_restore(enc, obs, rng, (ckpts or {}).get("encoder"))
     net = TemporalMapUnet(
         transition_dim=6, output_dim=2, dim=cfg.algo.base_dim, dim_mults=(2, 4, 8)
     )
     T = cfg.algo.horizon
-    net_vars = net.init(
-        {"params": jax.random.fold_in(rng, 1)}, jnp.zeros((1, T, 6)),
-        jnp.zeros((1, cfg.algo.cond_feat_dim)), jnp.zeros((1,), jnp.int32),
-    )
+    net_vars = jax.jit(
+        lambda r: net.init(
+            {"params": r}, jnp.zeros((1, T, 6)),
+            jnp.zeros((1, cfg.algo.cond_feat_dim)), jnp.zeros((1,), jnp.int32),
+        )
+    )(jax.random.fold_in(rng, 1))
+    if (ckpts or {}).get("policy"):
+        from cld_tpu.training.checkpoints import restore_pytree
+
+        net_vars = restore_pytree(ckpts["policy"], like=net_vars)
     algo = RawActionDiffuser(
         lambda x, c, t: net.apply(net_vars, x, c, t),
         make_schedule(cfg.algo.n_diffusion_steps),

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cld_tpu.guidance.losses import (
     AgentCollisionLoss,
@@ -122,19 +123,27 @@ def heuristic_keep_distance(target: int, ref: int, min_dist=5.0, max_dist=15.0, 
 def _replay_future_states(pack, state, num_frames: int) -> np.ndarray:
     """GT future world states by rolling the replay actions through the
     unicycle (the on-device stand-in for `get_agents_future`,
-    `scene_edit_utils.py:286-300`): [Na, num_frames, 4]."""
+    `scene_edit_utils.py:286-300`): [Na, num_frames, 4]. One jitted scan +
+    one transfer — a per-frame eager loop here would dispatch hundreds of
+    serial ~100 ms RPCs on the tunnel TPU (CLAUDE.md)."""
     from cld_tpu.ops.dynamics import UnicycleParams, unicycle_step
 
     dyn = UnicycleParams()
-    s = jnp.asarray(state.states)
-    t0 = int(np.asarray(state.step))
+    t0 = jnp.asarray(state.step, jnp.int32)
     T_rep = pack.replay_actions.shape[1]
-    out = []
-    for k in range(num_frames):
-        u = pack.replay_actions[:, min(t0 + k, T_rep - 1)]
-        s = unicycle_step(dyn, s, u, 0.1, bound=True)
-        out.append(np.asarray(s))
-    return np.stack(out, axis=1)
+
+    @jax.jit
+    def roll(states, replay, t0):
+        ks = jnp.minimum(t0 + jnp.arange(num_frames), T_rep - 1)
+
+        def step(s, k):
+            nxt = unicycle_step(dyn, s, replay[:, k], 0.1, bound=True)
+            return nxt, nxt
+
+        _, traj = jax.lax.scan(step, states, ks)
+        return jnp.swapaxes(traj, 0, 1)  # [Na, num_frames, 4]
+
+    return np.asarray(roll(jnp.asarray(state.states), pack.replay_actions, t0))
 
 
 def heuristic_social_group(
@@ -227,7 +236,11 @@ def heuristic_global_target_pos_at_time(
     if pref_speed is None:
         pref_speed = float(np.mean(np.abs(fut[:, :, 2])))
     t0 = int(np.asarray(state.step))
-    tt = np.full(len(tgt), t0 + target_time, np.int64)
+    # fut[:, k] is the state AFTER k+1 steps, so fut[:, -1] is the state at
+    # global frame t0 + target_time reached by PLAN index target_time - 1
+    # (GlobalTargetPosAtTimeLoss indexes the plan at tt - global_t); the
+    # local heuristic_target_pos_at_time uses the same -1 convention
+    tt = np.full(len(tgt), t0 + target_time - 1, np.int64)
     return GuidanceSpec(
         GlobalTargetPosAtTimeLoss(
             target_pos_world=tgt, target_time=tt,

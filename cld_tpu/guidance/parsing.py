@@ -102,9 +102,10 @@ def parse_guidance_arg(spec: str) -> List[Dict]:
         if val and binder:
             pname, cast = binder
             params[pname] = cast(val)
-        elif val and binder is None and name in ("agent_collision", "map_collision"):
-            pass  # no scalar binding
         elif val:
+            # NO silent discard: a value on a binder-less rule (e.g.
+            # "agent_collision:0.5") would otherwise run with defaults
+            # while the user believes their tuning applied
             raise ValueError(
                 f"rule {name!r} has no shorthand value; use JSON params"
             )

@@ -33,9 +33,9 @@ from cld_tpu.training.state import (
 
 
 class SceneCondEncoder(nn.Module):
-    """Per-agent conditioning: encoded local history + scene-frame pose."""
+    """Per-agent conditioning: encoded local history + scene-frame pose.
+    The history length comes from the batch shape."""
 
-    hist_steps: int
     cond_dim: int = 64
 
     @nn.compact
@@ -65,7 +65,6 @@ class SceneCondEncoder(nn.Module):
 class SceneDMModel(nn.Module):
     """Conditioning encoder + scene transformer denoiser in one module."""
 
-    hist_steps: int
     transition_dim: int = 6
     cond_dim: int = 64
     width: int = 128
@@ -73,7 +72,7 @@ class SceneDMModel(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.cond_encoder = SceneCondEncoder(self.hist_steps, self.cond_dim)
+        self.cond_encoder = SceneCondEncoder(self.cond_dim)
         self.denoiser = SceneTransformerDenoiser(
             transition_dim=self.transition_dim,
             output_dim=self.transition_dim,
@@ -107,7 +106,6 @@ class SceneDMTrainer:
         self.algo = algo
         self.dt = algo.step_time
         self.model = SceneDMModel(
-            hist_steps=algo.history_num_frames + 1,
             transition_dim=6,
             cond_dim=algo.get("scene_cond_dim", 64),
             width=algo.get("scene_width", 128),
