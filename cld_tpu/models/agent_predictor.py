@@ -47,6 +47,9 @@ class MAAgentPredictor(nn.Module):
     ec_conditioning: bool = False
     ec_feat_dim: int = 64
     dyn: UnicycleParams = UnicycleParams()
+    # raster meters/pixel — must match the data pipeline's rasterizer so
+    # ROI crops cover the intended metric extent
+    pixel_size: float = 0.5
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +73,8 @@ class MAAgentPredictor(nn.Module):
         neigh_yaw = batch.all_other_agents_history_yaws[:, :, -1, 0]  # [B, S]
         centers_px = transform_points(neigh_pos, batch.raster_from_agent)
         roi_feat = ROIMapEncoder(
-            agent_feature_dim=self.agent_feature_dim, dtype=self.dtype, name="roi",
+            agent_feature_dim=self.agent_feature_dim, pixel_size=self.pixel_size,
+            dtype=self.dtype, name="roi",
         )(batch.image, centers_px, neigh_yaw, train=train)  # [B, S, F]
 
         # decode: ego actions (unicycle-integrated), neighbor positions

@@ -99,6 +99,20 @@ def lattice_planner_policy(cfg: LatticePlannerConfig = LatticePlannerConfig()):
         # costs
         pos = states[..., :2]
         offroad = 1.0 - drivable_values_at(pos, obs.drivable_map, obs.raster_from_agent)
+        # points beyond the raster clamp to the border pixel in
+        # drivable_values_at (reference reward semantics); for PLANNING that
+        # would leave the planner blind past the map edge — fast candidates
+        # overrun a 64 px viewport within the horizon — so out-of-raster
+        # points count as offroad
+        from cld_tpu.ops.geometry import transform_points as _tp
+
+        pr = _tp(pos, obs.raster_from_agent)
+        H, W = obs.drivable_map.shape[-2:]
+        inside = (
+            (pr[..., 0] >= 0) & (pr[..., 0] <= W - 1)
+            & (pr[..., 1] >= 0) & (pr[..., 1] <= H - 1)
+        )
+        offroad = jnp.where(inside, offroad, 1.0)
         c_offroad = jnp.mean(offroad, axis=-1)  # [B, K]
 
         other = obs.all_other_agents_future_positions  # [B, S, T', 2]

@@ -36,21 +36,25 @@ def summarize_metrics(
 
     ctype = np.asarray(state.collision_type_steps)[mask]  # [n, 3]
 
-    offroad_rate = float((offroad > 0).mean())  # any offroad step -> failure
-    collision_rate = float((collision > 0).mean())
+    # a replay-only episode (no controlled agents) or a 0-step episode must
+    # report 0.0 rates, not NaN from empty means / 0-by-0 divisions
+    def rate(x) -> float:
+        return float(x.mean()) if x.size else 0.0
+
+    denom = max(len(offroad), 1) * max(n_steps, 1.0)
     return {
-        "offroad_rate": offroad_rate,
-        "collision_rate": collision_rate,
+        "offroad_rate": rate(offroad > 0),  # any offroad step -> failure
+        "collision_rate": rate(collision > 0),
         # typed rates, mirroring CollisionRate's per-CollisionType dict
         # (`env_metrics.py:415-489`)
-        "collision_rate_front": float((ctype[:, 0] > 0).mean()),
-        "collision_rate_rear": float((ctype[:, 1] > 0).mean()),
-        "collision_rate_side": float((ctype[:, 2] > 0).mean()),
-        "offroad_step_fraction": float(offroad.sum() / (len(offroad) * n_steps)),
-        "collision_step_fraction": float(collision.sum() / (len(collision) * n_steps)),
-        "critical_failure_rate": float(((offroad > 0) | (collision > 0)).mean()),
-        "comfort_violation_rate": float(
-            ((acc > COMFORT_MAX_ABS_ACC) | (yawvel > COMFORT_MAX_ABS_YAWVEL)).mean()
+        "collision_rate_front": rate(ctype[:, 0] > 0),
+        "collision_rate_rear": rate(ctype[:, 1] > 0),
+        "collision_rate_side": rate(ctype[:, 2] > 0),
+        "offroad_step_fraction": float(offroad.sum() / denom),
+        "collision_step_fraction": float(collision.sum() / denom),
+        "critical_failure_rate": rate((offroad > 0) | (collision > 0)),
+        "comfort_violation_rate": rate(
+            (acc > COMFORT_MAX_ABS_ACC) | (yawvel > COMFORT_MAX_ABS_YAWVEL)
         ),
         "num_controlled_agents": int(mask.sum()),
         "num_sim_steps": n_steps,

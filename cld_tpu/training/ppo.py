@@ -121,10 +121,13 @@ class PPOTrainer:
     # -- experience collection (`guide_dm_trainer.py:84-118`) -----------
     def decode_samples(self, x0: jnp.ndarray, aux_info, batch_size: int):
         """Latents -> (descaled, scaled) [B, N, T, 6] trajectories."""
+        from cld_tpu.models.vae import decode_actions
+
         cond = aux_info["cond_feat"]
-        actions = self.dm.vae.apply(
-            self.dm.vae_variables, x0, cond, method="decode"
-        )
+        # decode_actions dispatches to the fused pallas LSTM decoder on TPU
+        # (VJP-exact, so PPO-gradient-safe) — the hot decode of every
+        # collection step
+        actions = decode_actions(self.dm.vae, self.dm.vae_variables, x0, cond)
         curr_states = aux_info["curr_states"]
         descaled = convert_action_to_state_and_action(
             actions, curr_states, self.dyn_params, self.normalizer,
@@ -193,12 +196,15 @@ class PPOTrainer:
         """Failure rates + realism statistics for one batch. Wasserstein
         aggregation across batches happens on the host (eval harness)."""
         B = batch.image.shape[0]
-        enc_rng, samp_rng = jax.random.split(rng)
-        z_gt, aux = self.dm.encode(batch, enc_rng)
-        out = self.dm.sample(dm_state, batch, samp_rng, num_samp=self.num_samp)
+        _, samp_rng = jax.random.split(rng)
+        # eval scores ONE trajectory per scene, so sample exactly one:
+        # diffusing num_samp latents and scoring only sample 0 would pay
+        # N times the dominant 100-step sampler cost for nothing. The
+        # encoder runs once inside dm.sample (aux_info reused below).
+        out = self.dm.sample(dm_state, batch, samp_rng, num_samp=1)
         aux_rep = {
             "cond_feat": out["cond_feat"],
-            "curr_states": jnp.repeat(aux["curr_states"], self.num_samp, axis=0),
+            "curr_states": out["aux_info"]["curr_states"],
         }
         descaled, scaled = self.decode_samples(out["pred_traj"], aux_rep, B)
         descaled_flat = descaled[:, 0]

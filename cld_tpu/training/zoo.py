@@ -185,6 +185,7 @@ def _agent_predictor(cfg):
         cond_feat_dim=cfg.algo.cond_feat_dim,
         map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
         dyn=UnicycleParams.from_config(cfg.algo.dynamics),
+        pixel_size=cfg.env.rasterizer.pixel_size,
         dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
@@ -209,6 +210,7 @@ def _bc_ec(cfg):
         map_arch=cfg.algo.map_encoder_model_arch.split("_spatial")[0],
         dyn=UnicycleParams.from_config(cfg.algo.dynamics),
         ec_conditioning=True,
+        pixel_size=cfg.env.rasterizer.pixel_size,
         dtype=resolve_compute_dtype(cfg.train.training.get("precision", "auto")),
     )
 
