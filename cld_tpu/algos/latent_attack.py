@@ -42,7 +42,10 @@ def latent_attack(
 
     def total(z):
         obj = objective_fn(decode_fn(z))
-        prior = 0.5 * jnp.mean(z**2)
+        # STRIVE log-prior ||z||^2 / 2 PER SAMPLE (sum over latent dims,
+        # mean over the batch axis only) — a full mean would shrink the
+        # plausibility penalty by the latent size
+        prior = jnp.mean(0.5 * jnp.sum(z.reshape(z.shape[0], -1) ** 2, axis=-1))
         return obj + prior_weight * prior, (obj, prior)
 
     grad_fn = jax.grad(lambda z: total(z)[0])

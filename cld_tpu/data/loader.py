@@ -88,4 +88,10 @@ def make_loader(config, split: str = "train", mesh=None):
         )
     from cld_tpu.data.packed import PackedShardLoader
 
-    return PackedShardLoader(data_path, split=split, batch_size=batch_size)
+    # split-dependent seed, like the multihost branch: on a FLAT dataset
+    # train and val both read the whole set, and identical seeds would make
+    # the val loader replay the exact training sample sequence
+    return PackedShardLoader(
+        data_path, split=split, batch_size=batch_size,
+        seed=0 if split == "train" else 10_000,
+    )

@@ -167,11 +167,25 @@ class PackedShardLoader:
 
     def __init__(self, path: str, split: str = "train", batch_size: int = 128,
                  seed: int = 0, num_threads: int = 8):
+        # same split resolution as MultiHostPackedLoader: flat datasets
+        # (meta.json at the root) load whole, but an unknown split name on
+        # a split dataset must error — silently reading the root would
+        # evaluate on training data
         split_path = os.path.join(path, split)
-        self.ds = PackedShardDataset(
-            split_path if os.path.isdir(split_path) else path,
-            num_threads=num_threads,
-        )
+        if os.path.isdir(split_path):
+            ds_path = split_path
+        elif os.path.isfile(os.path.join(path, "meta.json")):
+            ds_path = path
+        else:
+            subdirs = sorted(
+                d for d in os.listdir(path)
+                if os.path.isdir(os.path.join(path, d))
+            ) if os.path.isdir(path) else []
+            raise FileNotFoundError(
+                f"no split {split!r} under {path!r} and no flat dataset "
+                f"(meta.json) at the root; available subdirs: {subdirs}"
+            )
+        self.ds = PackedShardDataset(ds_path, num_threads=num_threads)
         self.batch_size = batch_size
         self.seed = seed
 

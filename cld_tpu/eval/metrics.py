@@ -23,9 +23,19 @@ def ade(pred: np.ndarray, gt: np.ndarray, avail: np.ndarray | None = None) -> fl
     return float(err.mean())
 
 
-def fde(pred: np.ndarray, gt: np.ndarray) -> float:
-    """Final displacement error."""
-    return float(np.linalg.norm(pred[..., -1, :] - gt[..., -1, :], axis=-1).mean())
+def fde(pred: np.ndarray, gt: np.ndarray, avail: np.ndarray | None = None) -> float:
+    """Final displacement error at the LAST AVAILABLE frame per sample
+    (`metrics.py:242-287` gathers by availability — hard-indexing -1 would
+    measure distance to zero padding on short GT futures)."""
+    err = np.linalg.norm(pred - gt, axis=-1)  # [..., T]
+    if avail is None:
+        return float(err[..., -1].mean())
+    avail = np.asarray(avail) > 0
+    T = err.shape[-1]
+    last = T - 1 - np.argmax(avail[..., ::-1], axis=-1)  # [...]
+    has_any = avail.any(axis=-1)
+    final = np.take_along_axis(err, last[..., None], axis=-1)[..., 0]
+    return float((final * has_any).sum() / np.clip(has_any.sum(), 1, None))
 
 
 def wasserstein_1d(a: np.ndarray, b: np.ndarray) -> float:
@@ -49,9 +59,17 @@ def realism_deviation(stats: Dict[str, np.ndarray], dt: float = 0.1) -> Dict[str
     if "jerk_gt" in stats:  # device-computed per-agent jerk (ppo._test_step)
         jerk_gt = np.asarray(stats["jerk_gt"])
         jerk_pred = np.asarray(stats["jerk_pred"])
-    else:
+    elif long_gt.ndim >= 2:
+        # per-agent rows: finite-difference along the trailing time axis
         jerk_gt = np.diff(long_gt, axis=-1) / dt
         jerk_pred = np.diff(long_pred, axis=-1) / dt
+    else:
+        raise ValueError(
+            "realism_deviation needs per-agent jerk: pass jerk_gt/jerk_pred "
+            "(ppo._test_step computes them on device) or 2-D per-agent "
+            "acceleration rows — differencing FLAT concatenated arrays "
+            "would inject fake jerk samples at agent/batch seams"
+        )
     wd_long = wasserstein_1d(long_gt, long_pred)
     wd_lat = wasserstein_1d(stats["lat_acc_gt"], stats["lat_acc_pred"])
     wd_jerk = wasserstein_1d(jerk_gt, jerk_pred)

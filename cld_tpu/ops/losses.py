@@ -106,17 +106,24 @@ def multimodal_trajectory_loss(
     prob: jnp.ndarray,  # [B, M]
     weights_scaling: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Min-over-modes trajectory loss + mode cross-entropy
-    (`loss_utils.py:282-326`): the best mode gets the regression gradient
-    and prob is trained to select it."""
+    """Prob-weighted min-over-modes trajectory loss (`loss_utils.py:282-326`):
+    the best mode's error carries the regression gradient; non-best modes
+    contribute their DETACHED error (so prob learns to down-weight bad
+    modes without dragging their trajectories); everything prob-weighted
+    and normalized by the available-step count, exactly as the reference."""
     err = (predictions - targets[:, None]) ** 2
     if weights_scaling is not None:
         err = err * weights_scaling
-    per_mode = jnp.mean(err * availabilities[:, None, :, None], axis=(2, 3))  # [B, M]
-    best = jnp.argmin(per_mode, axis=1)
-    reg = jnp.take_along_axis(per_mode, best[:, None], axis=1).mean()
-    ce = -jnp.mean(jnp.log(jnp.take_along_axis(prob, best[:, None], axis=1) + 1e-8))
-    return reg + ce
+    err = err * availabilities[:, None, :, None]  # [B, M, T, D]
+    per_mode = jnp.sum(err, axis=(2, 3))  # [B, M]
+    min_flag = per_mode == jnp.min(per_mode, axis=1, keepdims=True)  # [B, M]
+    w = prob * min_flag
+    w_non = prob * ~min_flag
+    loss = (
+        jnp.sum(err * w[:, :, None, None])
+        + jnp.sum(jax.lax.stop_gradient(err) * w_non[:, :, None, None])
+    ) / jnp.clip(jnp.sum(availabilities), 1.0)
+    return loss
 
 
 def goal_reaching_loss(
@@ -126,16 +133,18 @@ def goal_reaching_loss(
     weights_scaling: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """MSE at each trajectory's LAST available step
-    (`loss_utils.py:328-357`): gather the final valid frame per sample."""
+    (`loss_utils.py:328-357`): a one-hot goal mask at the final valid frame
+    fed through trajectory_loss, so the normalization (mean over B*T*D)
+    matches the reference exactly — gathering and averaging over B*D alone
+    would make this term T times larger than reference-tuned weights
+    expect."""
     T = availabilities.shape[1]
     idx = T - 1 - jnp.argmax(availabilities[:, ::-1] > 0, axis=1)  # last valid
     has_any = jnp.any(availabilities > 0, axis=1)
-    pred_g = jnp.take_along_axis(predictions, idx[:, None, None], axis=1)[:, 0]
-    tgt_g = jnp.take_along_axis(targets, idx[:, None, None], axis=1)[:, 0]
-    err = (pred_g - tgt_g) ** 2
-    if weights_scaling is not None:
-        err = err * weights_scaling
-    return jnp.mean(err * has_any[:, None])
+    goal_mask = (
+        jax.nn.one_hot(idx, T, dtype=predictions.dtype) * has_any[:, None]
+    )  # [B, T]
+    return trajectory_loss(predictions, targets, goal_mask, weights_scaling)
 
 
 def collision_loss(
@@ -155,8 +164,10 @@ def collision_loss(
 
 
 def likelihood_loss(likelihood: jnp.ndarray) -> jnp.ndarray:
-    """-mean log likelihood (`loss_utils.py:440-441`)."""
-    return -jnp.mean(jnp.log(likelihood + 1e-8))
+    """1 - mean(likelihood) (`loss_utils.py:440-441`) — the reference's
+    bounded linear form, NOT a log-likelihood (log gradients explode as
+    likelihood -> 0)."""
+    return 1.0 - jnp.mean(likelihood)
 
 
 def discriminator_loss(likelihood_pred: jnp.ndarray, likelihood_gt: jnp.ndarray) -> jnp.ndarray:

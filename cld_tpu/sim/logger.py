@@ -57,13 +57,23 @@ class RolloutLogger:
                     sg.create_dataset("controlled", data=ep["controlled_mask"][agents])
                     if ep["actions"] is not None:
                         sg.create_dataset("actions", data=ep["actions"][:, agents])
-                grp.attrs["metrics"] = json.dumps(
-                    {k: float(v) for k, v in ep["metrics"].items() if np.isscalar(v)}
-                )
+                # np.isscalar is False for 0-d arrays / jax scalars (the
+                # natural form of device-computed metrics) — keep anything
+                # float() accepts instead
+                kept = {}
+                for k, v in ep["metrics"].items():
+                    try:
+                        kept[k] = float(v)
+                    except (TypeError, ValueError):
+                        pass
+                grp.attrs["metrics"] = json.dumps(kept)
         return path
 
     def save_npz(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        # np.savez appends '.npz' to suffix-less paths; return the REAL path
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         np.savez(
             path,
             **{

@@ -97,11 +97,25 @@ def test_legacy_losses():
     assert float(g_exact) == pytest.approx(0.0, abs=1e-8)
     assert float(g) > 0  # t=3 is the last available step (avail kills 4,5)
 
-    # multimodal: best mode gets picked
+    # multimodal (reference semantics, loss_utils.py:282-326): best mode's
+    # error carries gradient, non-best modes contribute detached error,
+    # all prob-weighted and normalized by the available-step count.
+    # Here best-mode err = 0 and each non-best mode has err 5^2 per
+    # element: (2 modes * 1/3 prob * 25 * B*T*D) / (B*T) = 50/3 * D
     preds = jnp.stack([tgt, tgt + 5.0, tgt - 5.0], axis=1)
     prob = jnp.full((B, M), 1.0 / M)
     mm = L.multimodal_trajectory_loss(preds, tgt, jnp.ones((B, T)), prob)
-    assert float(mm) == pytest.approx(-np.log(1 / 3), rel=1e-4)  # reg=0 + CE
+    assert float(mm) == pytest.approx(50.0 / 3.0 * D, rel=1e-4)
+    # gradient flows ONLY to the best mode's trajectory
+    g = jax.grad(
+        lambda p: L.multimodal_trajectory_loss(p, tgt, jnp.ones((B, T)), prob)
+    )(preds)
+    assert float(jnp.abs(g[:, 1:]).max()) == 0.0  # non-best detached
+    # prob still receives gradient (through the detached error weights)
+    gp = jax.grad(
+        lambda pr: L.multimodal_trajectory_loss(preds, tgt, jnp.ones((B, T)), pr)
+    )(prob)
+    assert float(jnp.abs(gp).max()) > 0.0
 
     # collision loss: far apart ~ 0, overlapping ~ 1
     ego = jnp.zeros((B, T, 2))
