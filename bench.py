@@ -15,8 +15,10 @@ reverse diffusion (lax.scan) + VAE decode + unicycle integration + reward.
 
 A second phase measures CLOSED-LOOP throughput (agent-steps/s): the on-device
 receding-horizon simulator (`cld_tpu/sim/env.py`) with the guided DM policy —
-100 sim frames, replan every 5, the scene_edit_config cadence — reported in
-the same JSON line as `closed_loop_agent_steps_per_sec`.
+100 sim frames, replan every 5, the scene_edit_config cadence — at two
+scales: 4 scenes x 8 agents (round-1/2 config of record) and the
+BASELINE-spec 50-agents-per-scene scale (2 scenes x 50), reported as
+`closed_loop_agent_steps_per_sec` / `closed_loop_50agent_steps_per_sec`.
 
 The reference publishes no absolute throughput (BASELINE.md). `vs_baseline`
 compares GUIDED-to-GUIDED against a documented engineering estimate of the
@@ -31,6 +33,21 @@ machinery is 1.2 s per 100-step/1-grad-update run
 pipeline to a few thousand NFE/s. The unguided pipeline is also measured
 and reported against the 25k unguided estimate as an extra.
 
+MFU extras: XLA's compiled cost analysis supplies the FLOP count of the
+exact executable being timed; peak is looked up from the device kind, so
+`guided_pipeline_mfu` / `denoiser_mfu` answer "how far from the MXU
+speed-of-light is this?" without a hand-maintained FLOPs model.
+
+Outage resilience: the axon TPU lives behind a remote tunnel that
+intermittently drops (documented in CLAUDE.md; it cost the round-2
+artifact). Before any in-process backend touch, the backend is probed in a
+SUBPROCESS under a hard timeout, with bounded retries — a half-up tunnel
+hangs `jax.devices()` indefinitely and a dead one raises, and the probe
+catches both without poisoning this process. A watchdog thread enforces an
+overall deadline; on any failure path one structured JSON line (same schema,
+an `error` field, all partial phase results gathered so far) is still
+printed so the driver artifact is interpretable.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
@@ -38,19 +55,10 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# Persistent compilation cache: compiles on this box round-trip through a
-# remote tunnel (minutes for the guided scan), but the serialized executable
-# is cached locally keyed by HLO hash — a warm cache turns repeat runs of
-# the same shapes into seconds.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_UNGUIDED_NFE_PER_SEC_ESTIMATE = 25_000.0
 REFERENCE_GUIDED_NFE_PER_SEC_ESTIMATE = 5_000.0
@@ -73,14 +81,157 @@ DECODE_IMPL = os.environ.get("BENCH_DECODE_IMPL", "auto")
 CL_SCENES = int(os.environ.get("BENCH_CL_SCENES", 4))
 CL_AGENTS = int(os.environ.get("BENCH_CL_AGENTS", 8))  # per scene
 CL_STEPS = int(os.environ.get("BENCH_CL_STEPS", 100))
+CL50_SCENES = int(os.environ.get("BENCH_CL50_SCENES", 2))
+CL50_AGENTS = int(os.environ.get("BENCH_CL50_AGENTS", 50))
+SKIP_CL50 = os.environ.get("BENCH_SKIP_CL50", "0") == "1"
+# CPU smoke mode: skip the tunnel probe (CPU cannot outage) and pin the
+# platform via jax.config — the axon plugin overrides JAX_PLATFORMS env.
+FORCE_CPU = os.environ.get("BENCH_FORCE_CPU", "0") == "1"
+
+# -- outage resilience ------------------------------------------------------
+# Overall wall-clock budget. When it expires the watchdog prints the
+# structured line with whatever phases completed and hard-exits — a half-up
+# tunnel must never hang the process past the driver's patience.
+DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", 3000))
+PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
+PROBE_TIMEOUT = float(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+PROBE_SLEEP = float(os.environ.get("BENCH_PROBE_SLEEP", 60))
+
+_T0 = time.monotonic()
+# Partial results gathered as phases complete; every failure line carries
+# them so a late-phase hang still yields the early-phase numbers.
+PARTIAL: dict = {}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
 
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def time_left() -> float:
+    return DEADLINE_SECS - (time.monotonic() - _T0)
+
+
+def emit(payload: dict):
+    """Print the single JSON line exactly once, even under failure races."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(payload), flush=True)
+
+
+def emit_failure(error: str):
+    emit(
+        {
+            "metric": "guided_sampling_nfe_per_sec",
+            "value": 0.0,
+            "unit": "NFE/s (NOT MEASURED — see error field)",
+            "vs_baseline": 0.0,
+            "error": error,
+            **PARTIAL,
+        }
+    )
+
+
+def probe_backend() -> bool:
+    """Probe JAX backend init in a subprocess under a hard timeout.
+
+    The two observed tunnel failure modes are (a) a fast
+    `RuntimeError: Unable to initialize backend 'axon'` and (b) an
+    indefinite hang inside device init (judge-observed 590 s in round 2).
+    A subprocess probe bounds both without wedging this process's jax.
+    """
+    for attempt in range(1, PROBE_ATTEMPTS + 1):
+        budget = min(PROBE_TIMEOUT, max(10.0, time_left() - 30.0))
+        t0 = time.monotonic()
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax; d = jax.devices(); print(d[0].platform)",
+                ],
+                timeout=budget,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode == 0:
+                plat = (r.stdout.strip().splitlines() or ["?"])[-1]
+                log(
+                    f"backend probe {attempt}/{PROBE_ATTEMPTS} OK "
+                    f"(platform={plat}, {time.monotonic() - t0:.0f}s)"
+                )
+                return True
+            tail = (r.stderr or "").strip().splitlines()[-1:]
+            log(
+                f"backend probe {attempt}/{PROBE_ATTEMPTS} failed rc={r.returncode}"
+                f" ({time.monotonic() - t0:.0f}s): {tail}"
+            )
+        except subprocess.TimeoutExpired:
+            log(
+                f"backend probe {attempt}/{PROBE_ATTEMPTS} HUNG past "
+                f"{budget:.0f}s (half-up tunnel) — killed"
+            )
+        if attempt < PROBE_ATTEMPTS and time_left() > PROBE_SLEEP + 60:
+            log(f"retrying probe in {PROBE_SLEEP:.0f}s")
+            time.sleep(PROBE_SLEEP)
+    return False
+
+
+def start_watchdog():
+    def _watch():
+        while True:
+            left = time_left()
+            if left <= 0:
+                emit_failure(
+                    f"watchdog: deadline of {DEADLINE_SECS:.0f}s expired "
+                    f"(likely a mid-run tunnel hang); partial results attached"
+                )
+                sys.stdout.flush()
+                os._exit(4)
+            time.sleep(min(15.0, left))
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
+# bf16 dense peak FLOP/s per chip, keyed by device_kind substring.
+_PEAK_FLOPS = (
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5e / "TPU v5 lite"
+    ("v4", 275e12),
+    ("v3", 61.5e12),  # per chip (2 cores)
+)
+
+
+def device_peak_flops(kind: str):
+    k = kind.lower()
+    for sub, peak in _PEAK_FLOPS:
+        if sub in k:
+            return peak
+    return None
+
+
+def compiled_flops(compiled):
+    """FLOP count from XLA's cost analysis of the exact timed executable."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception as e:  # cost analysis is best-effort per backend
+        log(f"cost_analysis unavailable: {e}")
+        return None
+
+
 def build_flagship(cfg, compute_dtype, batch):
     """Full-size models (config of record), bf16 compute on TPU."""
+    import jax
+
     from cld_tpu.models.temporal_unet import TemporalMapUnet
     from cld_tpu.models.vae import VaeModel
     from cld_tpu.training.dm import DMTrainer
@@ -126,7 +277,11 @@ def flagship_guidance_specs(scene_block=None):
 def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
     """Sampling NFE/s for the representative per-replan action pipeline —
     guided (flagship scene-editing rules at every denoise step) or
-    unguided (the PPO collection path)."""
+    unguided (the PPO collection path). Returns (nfe_per_sec, mfu)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.algos.reward import compute_reward
     from cld_tpu.data.batch import get_current_states
@@ -192,20 +347,62 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
         traj = decode_fn(out["pred_traj"])
         return compute_reward(traj, batch, normalizer.scale(traj)).mean()
 
-    one_iter_jit = jax.jit(guided_collect)
-
+    # AOT compile so the SAME executable is cost-analyzed and timed (and the
+    # tunnel compile happens exactly once).
     t0 = time.perf_counter()
-    r = one_iter_jit(dm_state.params, batch, jax.random.key(10))
+    compiled = (
+        jax.jit(guided_collect)
+        .lower(dm_state.params, batch, jax.random.key(10))
+        .compile()
+    )
+    flops = compiled_flops(compiled)
+    r = compiled(dm_state.params, batch, jax.random.key(10))
     jax.block_until_ready(r)
     log(f"open-loop pipeline compiled+warm in {time.perf_counter() - t0:.1f}s")
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        r = one_iter_jit(dm_state.params, batch, jax.random.key(20 + i))
+        r = compiled(dm_state.params, batch, jax.random.key(20 + i))
     jax.block_until_ready(r)
     elapsed = time.perf_counter() - t0
-    return BATCH * NUM_SAMP * N_STEPS * iters / elapsed
+    mfu = None
+    peak = device_peak_flops(jax.devices()[0].device_kind)
+    if flops and peak:
+        mfu = flops * iters / elapsed / peak
+    return BATCH * NUM_SAMP * N_STEPS * iters / elapsed, mfu
+
+
+def bench_denoiser(cfg, dm_trainer, dm_state):
+    """Bare denoiser forward (one NFE for the whole batch): per-step latency
+    and MFU — isolates "is the UNet itself fast?" from pipeline overheads."""
+    import jax
+    import jax.numpy as jnp
+
+    BN = BATCH * NUM_SAMP
+    x = jnp.zeros((BN, cfg.algo.horizon, cfg.algo.vae.latent_size), jnp.float32)
+    cond = jnp.zeros((BN, cfg.algo.cond_feat_dim), jnp.float32)
+    t = jnp.zeros((BN,), jnp.int32)
+
+    def step(params, x, cond, t):
+        return dm_trainer.denoise_fn(params)(x, cond, t)
+
+    compiled = jax.jit(step).lower(dm_state.params, x, cond, t).compile()
+    flops = compiled_flops(compiled)
+    r = compiled(dm_state.params, x, cond, t)
+    jax.block_until_ready(r)
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = compiled(dm_state.params, x, cond, t)
+    jax.block_until_ready(r)
+    elapsed = time.perf_counter() - t0
+    out = {"denoiser_step_ms": round(elapsed / iters * 1e3, 4)}
+    peak = device_peak_flops(jax.devices()[0].device_kind)
+    if flops and peak:
+        out["denoiser_mfu"] = round(flops * iters / elapsed / peak, 4)
+        out["denoiser_gflops_per_nfe"] = round(flops / 1e9, 2)
+    return out
 
 
 def bench_train_steps(cfg, dm_trainer, dm_state, batch):
@@ -213,6 +410,8 @@ def bench_train_steps(cfg, dm_trainer, dm_state, batch):
     train steps, jitted end-to-end — the BASELINE.json config-5 story
     (the reference trains at '16-mixed' on one GPU; both stages here are
     one fused XLA program per step)."""
+    import jax
+
     from cld_tpu.training.vae import VAETrainer
 
     results = {}
@@ -243,9 +442,11 @@ def bench_train_steps(cfg, dm_trainer, dm_state, batch):
     return results
 
 
-def bench_closed_loop(cfg, dm_trainer, dm_state):
+def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents):
     """Guided closed-loop sim throughput (agent-steps/s): the second
     BASELINE.json north-star metric, on the same flagship guidance."""
+    import jax
+
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.data.batch import get_current_states
     from cld_tpu.guidance.losses import GuidanceContext, prepack_drivable
@@ -270,10 +471,10 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
         dyn=dyn,
     )
     pack = synthetic_scene_pack(
-        seed=0, num_scenes=CL_SCENES, agents_per_scene=CL_AGENTS,
+        seed=0, num_scenes=n_scenes, agents_per_scene=n_agents,
         sim_steps=CL_STEPS,
     )
-    specs = flagship_guidance_specs(CL_AGENTS)
+    specs = flagship_guidance_specs(n_agents)
     Na = pack.num_agents
 
     def policy(obs, rng):
@@ -313,7 +514,10 @@ def bench_closed_loop(cfg, dm_trainer, dm_state):
     t0 = time.perf_counter()
     _, traj = run(jax.random.key(0))
     traj.block_until_ready()
-    log(f"closed-loop compiled+warm in {time.perf_counter() - t0:.1f}s")
+    log(
+        f"closed-loop {n_scenes}x{n_agents} compiled+warm in "
+        f"{time.perf_counter() - t0:.1f}s"
+    )
     t0 = time.perf_counter()
     _, traj = run(jax.random.key(1))
     traj.block_until_ready()
@@ -327,6 +531,8 @@ def bench_ppo(cfg, dm_trainer, dm_state, batch):
     3000-minibatch clipped-surrogate update phase (`guide_dm_trainer.py:
     84-183`: 10 epochs x 300 iters of 128 — one UNet fwd+bwd each, here a
     single lax.scan)."""
+    import jax
+
     from cld_tpu.training.ppo import PPOTrainer, buffer_init
 
     ppo = PPOTrainer(cfg, dm_trainer)
@@ -361,10 +567,40 @@ def bench_ppo(cfg, dm_trainer, dm_state, batch):
 
 
 def main():
+    start_watchdog()
+    if not FORCE_CPU and not probe_backend():
+        emit_failure(
+            f"axon TPU tunnel unavailable: backend init failed/hung in "
+            f"{PROBE_ATTEMPTS} subprocess probes of {PROBE_TIMEOUT:.0f}s each "
+            f"(infra outage — see CLAUDE.md; code path never reached)"
+        )
+        sys.exit(3)
+
+    import jax
+    import jax.numpy as jnp
+
+    if FORCE_CPU:
+        jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compilation cache: compiles on this box round-trip through a
+    # remote tunnel (minutes for the guided scan), but the serialized
+    # executable is cached locally keyed by HLO hash — a warm cache turns
+    # repeat runs of the same shapes into seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from cld_tpu.data.synthetic import synthetic_batch
     from cld_tpu.utils.config import default_config
 
-    compute_dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:  # probe passed but init raced the tunnel
+        emit_failure(f"backend init failed after a successful probe: {e}")
+        sys.exit(3)
+    dev = jax.devices()[0]
+    PARTIAL["device_kind"] = dev.device_kind
+    log(f"backend={backend} device={dev.device_kind}")
+    compute_dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
 
     cfg = default_config()
     cfg.train.training.batch_size = BATCH
@@ -378,52 +614,96 @@ def main():
 
     dm_trainer, dm_state = build_flagship(cfg, compute_dtype, batch)
 
-    nfe_per_sec = bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True)
-    log(f"open-loop guided NFE/s = {nfe_per_sec:.0f}")
-    unguided_nfe = bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=False)
-    log(f"open-loop unguided NFE/s = {unguided_nfe:.0f}")
+    nfe_per_sec, guided_mfu = bench_open_loop(
+        cfg, dm_trainer, dm_state, batch, guided=True
+    )
+    PARTIAL["_headline_nfe_per_sec"] = round(nfe_per_sec, 1)
+    if guided_mfu is not None:
+        PARTIAL["guided_pipeline_mfu"] = round(guided_mfu, 4)
+    log(f"open-loop guided NFE/s = {nfe_per_sec:.0f} (mfu={guided_mfu})")
 
-    extras = {
-        "unguided_nfe_per_sec": round(unguided_nfe, 1),
-        "vs_unguided_baseline": round(
-            unguided_nfe / REFERENCE_UNGUIDED_NFE_PER_SEC_ESTIMATE, 3
-        ),
-    }
+    unguided_nfe, unguided_mfu = bench_open_loop(
+        cfg, dm_trainer, dm_state, batch, guided=False
+    )
+    log(f"open-loop unguided NFE/s = {unguided_nfe:.0f} (mfu={unguided_mfu})")
+    PARTIAL["unguided_nfe_per_sec"] = round(unguided_nfe, 1)
+    PARTIAL["vs_unguided_baseline"] = round(
+        unguided_nfe / REFERENCE_UNGUIDED_NFE_PER_SEC_ESTIMATE, 3
+    )
+    if unguided_mfu is not None:
+        PARTIAL["unguided_pipeline_mfu"] = round(unguided_mfu, 4)
+
+    try:
+        PARTIAL.update(bench_denoiser(cfg, dm_trainer, dm_state))
+    except Exception as e:
+        log(f"denoiser micro-phase failed (non-fatal): {e}")
+
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
-        extras.update(bench_train_steps(cfg, dm_trainer, dm_state, batch))
-        extras.update(bench_ppo(cfg, dm_trainer, dm_state, batch))
-        log(f"train-step throughput: {extras}")
+        if time_left() > 420:
+            PARTIAL.update(bench_train_steps(cfg, dm_trainer, dm_state, batch))
+            log(f"train-step throughput captured")
+        else:
+            PARTIAL["train_phase"] = "skipped: deadline"
+        if time_left() > 420:
+            PARTIAL.update(bench_ppo(cfg, dm_trainer, dm_state, batch))
+        else:
+            PARTIAL["ppo_phase"] = "skipped: deadline"
     if not SKIP_CLOSED_LOOP:
-        cl_rate, cl_wall = bench_closed_loop(cfg, dm_trainer, dm_state)
-        log(f"closed-loop agent-steps/s = {cl_rate:.0f} (wall {cl_wall:.2f}s)")
-        extras.update(
-            closed_loop_agent_steps_per_sec=round(cl_rate, 1),
-            closed_loop_config=(
+        if time_left() > 600:
+            cl_rate, cl_wall = bench_closed_loop(
+                cfg, dm_trainer, dm_state, CL_SCENES, CL_AGENTS
+            )
+            log(f"closed-loop agent-steps/s = {cl_rate:.0f} (wall {cl_wall:.2f}s)")
+            PARTIAL["closed_loop_agent_steps_per_sec"] = round(cl_rate, 1)
+            PARTIAL["closed_loop_config"] = (
                 f"{CL_SCENES} scenes x {CL_AGENTS} agents, {CL_STEPS} frames, "
                 f"replan/5, guided DDPM-100, raster 224"
-            ),
-        )
+            )
+        else:
+            PARTIAL["closed_loop_phase"] = "skipped: deadline"
+        # BASELINE-spec scale: 50 agents per scene
+        if not SKIP_CL50 and time_left() > 600:
+            cl50_rate, cl50_wall = bench_closed_loop(
+                cfg, dm_trainer, dm_state, CL50_SCENES, CL50_AGENTS
+            )
+            log(
+                f"closed-loop 50-agent agent-steps/s = {cl50_rate:.0f} "
+                f"(wall {cl50_wall:.2f}s)"
+            )
+            PARTIAL["closed_loop_50agent_steps_per_sec"] = round(cl50_rate, 1)
+            PARTIAL["closed_loop_50agent_config"] = (
+                f"{CL50_SCENES} scenes x {CL50_AGENTS} agents, {CL_STEPS} "
+                f"frames, replan/5, guided DDPM-100, raster 224"
+            )
+        elif not SKIP_CL50:
+            PARTIAL["closed_loop_50agent_phase"] = "skipped: deadline"
 
-    print(
-        json.dumps(
-            {
-                "metric": "guided_sampling_nfe_per_sec",
-                "value": round(nfe_per_sec, 1),
-                "unit": (
-                    f"NFE/s (raster encode + 100-step scan with per-step "
-                    f"agent_collision+map_collision decoder-gradient guidance "
-                    f"+ decode + reward, batch {BATCH}, scenes of "
-                    f"{AGENTS_PER_SCENE}; vs_baseline is guided-vs-guided, "
-                    f"see module docstring)"
-                ),
-                "vs_baseline": round(
-                    nfe_per_sec / REFERENCE_GUIDED_NFE_PER_SEC_ESTIMATE, 3
-                ),
-                **extras,
-            }
-        )
+    PARTIAL.pop("_headline_nfe_per_sec", None)
+    emit(
+        {
+            "metric": "guided_sampling_nfe_per_sec",
+            "value": round(nfe_per_sec, 1),
+            "unit": (
+                f"NFE/s (raster encode + 100-step scan with per-step "
+                f"agent_collision+map_collision decoder-gradient guidance "
+                f"+ decode + reward, batch {BATCH}, scenes of "
+                f"{AGENTS_PER_SCENE}; vs_baseline is guided-vs-guided, "
+                f"see module docstring)"
+            ),
+            "vs_baseline": round(
+                nfe_per_sec / REFERENCE_GUIDED_NFE_PER_SEC_ESTIMATE, 3
+            ),
+            **PARTIAL,
+        }
     )
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        emit_failure(f"{type(e).__name__}: {e}")
+        sys.exit(5)
