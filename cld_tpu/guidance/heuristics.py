@@ -32,10 +32,19 @@ from cld_tpu.guidance.losses import (
 from cld_tpu.guidance.perturbation import GuidanceSpec
 
 
-def heuristic_target_speed(pack, state, speed_scale: float = 1.0, weight: float = 1.0):
-    """Hold each agent near its current speed x scale
-    (`scene_edit_utils.py` heuristic_target_speed)."""
-    target = np.asarray(state.states[:, 2]) * speed_scale
+def heuristic_target_speed(pack, state, speed_scale: float = 1.0, weight: float = 1.0,
+                           target_speed_multiplier: float | None = None,
+                           fut_sec: float | None = None):
+    """Hold each agent near a target speed (`scene_edit_utils.py:553-581`
+    heuristic_target_speed). Reference spelling: target from the GT-future
+    mean speed x `target_speed_multiplier` over `fut_sec` seconds; shorthand
+    spelling: current speed x `speed_scale`."""
+    if target_speed_multiplier is not None:
+        frames = max(1, int(round((fut_sec or 5.0) * 10)))
+        fut = _replay_future_states(pack, state, frames)
+        target = np.mean(np.abs(fut[:, :, 2]), axis=1) * target_speed_multiplier
+    else:
+        target = np.asarray(state.states[:, 2]) * speed_scale
     return GuidanceSpec(TargetSpeedLoss(target_speed=target), weight)
 
 
@@ -56,22 +65,43 @@ def _uniform_scene_block(pack):
 
 
 def heuristic_agent_collision(
-    weight: float = 10.0, num_disks: int = 5, buffer_dist: float = 0.2, pack=None
+    weight: float = 10.0, num_disks: int = 5, buffer_dist: float = 0.2,
+    decay_rate: float = 0.9, pack=None,
 ):
     return GuidanceSpec(
         AgentCollisionLoss(
-            num_disks=num_disks, buffer_dist=buffer_dist,
+            num_disks=num_disks, buffer_dist=buffer_dist, decay_rate=decay_rate,
             scene_block=_uniform_scene_block(pack),
         ),
         weight,
     )
 
 
-def heuristic_map_collision(weight: float = 10.0):
-    return GuidanceSpec(MapCollisionLoss(), weight)
+def heuristic_map_collision(weight: float = 10.0, num_points_lw=(10, 10),
+                            decay_rate: float = 0.9):
+    return GuidanceSpec(
+        MapCollisionLoss(num_points_lw=tuple(num_points_lw),
+                         decay_rate=decay_rate),
+        weight,
+    )
 
 
-def heuristic_speed_limit(speed_limit: float = 15.0, weight: float = 1.0):
+def heuristic_speed_limit(pack=None, state=None, speed_limit: float = 15.0,
+                          weight: float = 1.0,
+                          speed_limit_quantile: float | None = None,
+                          low_speed_th: float = 0.5,
+                          fut_sec: float | None = None):
+    """Speed limit, either explicit or derived from the scene as the
+    reference does (`scene_edit_utils.py:518-550`): the
+    `speed_limit_quantile` of GT-future speeds over agents moving faster
+    than `low_speed_th`."""
+    if speed_limit_quantile is not None and pack is not None:
+        frames = max(1, int(round((fut_sec or 5.0) * 10)))
+        fut = _replay_future_states(pack, state, frames)
+        speeds = np.abs(fut[:, :, 2])
+        moving = speeds[speeds > low_speed_th]
+        if moving.size:
+            speed_limit = float(np.quantile(moving, speed_limit_quantile))
     return GuidanceSpec(SpeedLimitLoss(speed_limit=speed_limit), weight)
 
 
@@ -84,22 +114,71 @@ def heuristic_lane_following(pack, state, weight: float = 1.0, **kw):
     return GuidanceSpec(LaneFollowingLoss(**kw), weight)
 
 
-def heuristic_global_target_pos(pack, state, horizon_s: float = 10.0, weight: float = 1.0):
-    """Goal = constant-velocity extrapolation of each agent
-    (`heuristic_global_target_pos`: progress toward a forward goal)."""
-    s = np.asarray(state.states)
-    goal = s[:, :2] + horizon_s * s[:, 2:3] * np.stack(
-        [np.cos(s[:, 3]), np.sin(s[:, 3])], axis=-1
+def heuristic_global_target_pos(pack, state, horizon_s: float = 10.0,
+                                weight: float = 1.0,
+                                target_time: int | None = None,
+                                urgency: float = 0.7,
+                                pref_speed: float | None = None,
+                                min_progress_dist: float = 0.5,
+                                perturb_std: float = 0.0, seed: int = 0,
+                                **_host_only):
+    """Goal toward a forward world-frame waypoint
+    (`heuristic_global_target_pos`, `scene_edit_utils.py:335-343`). With the
+    reference spelling (`target_time` frames) the goal is the GT future
+    position; the shorthand spelling extrapolates constant velocity over
+    `horizon_s`. Host-only reference knobs (`action_num` candidate count,
+    `target_tolerance` for the non-timed loss) are accepted and ignored —
+    filtration count is rollout's --num-action-samples."""
+    if target_time is not None:
+        fut = _replay_future_states(pack, state, int(target_time))
+        goal = fut[:, -1, :2].astype(np.float64)
+        if pref_speed is None:
+            pref_speed = float(np.mean(np.abs(fut[:, :, 2])))
+    else:
+        s = np.asarray(state.states)
+        goal = s[:, :2] + horizon_s * s[:, 2:3] * np.stack(
+            [np.cos(s[:, 3]), np.sin(s[:, 3])], axis=-1
+        )
+    if perturb_std > 0:
+        goal = goal + np.random.default_rng(seed).normal(0, perturb_std, goal.shape)
+    kw = {} if pref_speed is None else {"pref_speed": float(pref_speed)}
+    return GuidanceSpec(
+        GlobalTargetPosLoss(
+            target_pos_world=goal.astype(np.float32), urgency=urgency,
+            min_progress_dist=min_progress_dist, **kw,
+        ),
+        weight,
     )
-    return GuidanceSpec(GlobalTargetPosLoss(target_pos_world=goal, urgency=0.7), weight)
 
 
-def heuristic_stop_sign(pack, state, ahead_m: float = 15.0, box_half=(5.0, 3.0), weight: float = 5.0):
-    """Stop region a fixed distance ahead of each agent (agent frame)."""
+def heuristic_stop_sign(pack, state, ahead_m: float = 15.0, box_half=(5.0, 3.0),
+                        weight: float = 5.0, target_time: int | None = None,
+                        stop_box_dim=None, scale: float = 1.0,
+                        **_host_only):
+    """Stop region ahead of each agent, agent frame
+    (`heuristic_stop_sign`, `scene_edit_utils.py:473-515`). Reference
+    spelling: the box sits at the GT future position at `target_time`
+    frames with FULL dims `stop_box_dim`; shorthand spelling: a fixed
+    `ahead_m` offset with HALF extents `box_half`."""
     B = pack.num_agents
-    center = np.tile([ahead_m, 0.0], (B, 1)).astype(np.float32)
-    dim = np.tile(box_half, (B, 1)).astype(np.float32)
-    return GuidanceSpec(StopSignLoss(stop_box_center=center, stop_box_dim=dim), weight)
+    if target_time is not None:
+        fut = _replay_future_states(pack, state, int(target_time))
+        s = np.asarray(state.states)
+        c, si = np.cos(s[:, 3]), np.sin(s[:, 3])
+        rel = fut[:, -1, :2] - s[:, :2]
+        center = np.stack([c * rel[:, 0] + si * rel[:, 1],
+                           -si * rel[:, 0] + c * rel[:, 1]], axis=-1)
+    else:
+        center = np.tile([ahead_m, 0.0], (B, 1))
+    if stop_box_dim is not None:
+        dim = np.tile(np.asarray(stop_box_dim, np.float32) / 2.0, (B, 1))
+    else:
+        dim = np.tile(box_half, (B, 1))
+    return GuidanceSpec(
+        StopSignLoss(stop_box_center=center.astype(np.float32),
+                     stop_box_dim=dim.astype(np.float32), scale=scale),
+        weight,
+    )
 
 
 def heuristic_collision_attack(attacker: int, victim: int, weight: float = 5.0,
@@ -224,15 +303,21 @@ def heuristic_target_pos_at_time(pack, state, target_time: int = 40,
 def heuristic_global_target_pos_at_time(
     pack, state, target_time: int = 60, urgency: float = 0.5,
     pref_speed: float | None = None, target_tolerance: float = 2.0,
-    weight: float = 1.0,
+    weight: float = 1.0, perturb_std: float = 0.0, seed: int = 0,
+    **_host_only,
 ) -> GuidanceSpec:
     """Global waypoint+time from the GT future
     (`heuristic_global_target_pos_at_time`, `scene_edit_utils.py:280-333`);
-    pref_speed defaults to the GT average speed."""
+    pref_speed defaults to the GT average speed. `action_num` (candidate
+    count for filtration) is a rollout-level knob and is ignored here."""
     from cld_tpu.guidance.losses import GlobalTargetPosAtTimeLoss
 
     fut = _replay_future_states(pack, state, target_time)
     tgt = fut[:, -1, :2].astype(np.float32)
+    if perturb_std > 0:
+        tgt = (tgt + np.random.default_rng(seed).normal(
+            0, perturb_std, tgt.shape
+        )).astype(np.float32)
     if pref_speed is None:
         pref_speed = float(np.mean(np.abs(fut[:, :, 2])))
     t0 = int(np.asarray(state.step))
@@ -254,36 +339,143 @@ def heuristic_global_target_pos_at_time(
 def heuristic_global_stop_sign(pack, state, ahead_m: float = 15.0,
                                box_dim=(10.0, 6.0), weight: float = 5.0,
                                num_time_steps_to_stop: int = 3,
-                               low_speed_th: float = 0.5) -> GuidanceSpec:
-    """World-frame stop box a fixed distance ahead of each agent
-    (`heuristic_global_stop_sign`, `scene_edit_utils.py:426-471`)."""
+                               low_speed_th: float = 0.5,
+                               target_time: int | None = None,
+                               stop_box_dim=None, scale: float = 1.0,
+                               horizon_length: int | None = None,
+                               action_num: int | None = None) -> GuidanceSpec:
+    """World-frame stop box ahead of each agent
+    (`heuristic_global_stop_sign`, `scene_edit_utils.py:426-471`). Reference
+    spelling: the box sits at the GT future position at `target_time` with
+    full dims `stop_box_dim`; shorthand: fixed `ahead_m` offset."""
     from cld_tpu.guidance.losses import GlobalStopSignLoss
 
     s = np.asarray(state.states)
-    center = s[:, :2] + ahead_m * np.stack([np.cos(s[:, 3]), np.sin(s[:, 3])], -1)
-    dim = np.tile(box_dim, (len(center), 1)).astype(np.float32)
+    if target_time is not None:
+        fut = _replay_future_states(pack, state, int(target_time))
+        center = fut[:, -1, :2]
+    else:
+        center = s[:, :2] + ahead_m * np.stack([np.cos(s[:, 3]), np.sin(s[:, 3])], -1)
+    dim = np.tile(stop_box_dim if stop_box_dim is not None else box_dim,
+                  (len(center), 1)).astype(np.float32)
+    kw = {}
+    if horizon_length is not None:
+        kw["horizon_length"] = int(horizon_length)
+    if action_num is not None:
+        kw["action_num"] = int(action_num)
     return GuidanceSpec(
         GlobalStopSignLoss(
             stop_sign_pos=center.astype(np.float32), stop_box_dim=dim,
             num_time_steps_to_stop=num_time_steps_to_stop,
-            low_speed_th=low_speed_th,
+            low_speed_th=low_speed_th, scale=scale, **kw,
         ),
         weight,
     )
+
+
+def heuristic_target_pos(pack, state, target_time: int = 40,
+                         weight: float = 1.0, perturb_std: float = 0.0,
+                         seed: int = 0) -> GuidanceSpec:
+    """Untimed waypoint from the GT future (`heuristic_target_pos`,
+    `scene_edit_utils.py:386-394`): the same waypoint as
+    heuristic_target_pos_at_time but bound to a TargetPosLoss, which asks
+    the trajectory to pass NEAR the point at any (late-enough) time instead
+    of exactly at `target_time`."""
+    from cld_tpu.guidance.losses import TargetPosLoss
+
+    timed = heuristic_target_pos_at_time(
+        pack, state, target_time=target_time, weight=weight,
+        perturb_std=perturb_std, seed=seed,
+    )
+    return GuidanceSpec(TargetPosLoss(target_pos=timed.loss.target_pos), weight)
+
+
+def _select_interacting_pair(pack, state, angle_diff_max_th: float,
+                             dist_min: float = 10.0, dist_max: float = 30.0,
+                             min_current_speed: float = 2.0,
+                             sort_by_distance: bool = True):
+    """The reference's adversarial pair picker (`heuristic_gptcollision`,
+    `scene_edit_utils.py:584-680`): among same-scene agents that are moving
+    now, find pairs whose headings roughly agree and whose separation sits
+    in [dist_min, dist_max] both now and ~2s into the GT future; return
+    (behind_agent, ahead_agent) of the best pair, or None."""
+    frames = min(21, pack.replay_actions.shape[1])
+    fut = _replay_future_states(pack, state, max(frames, 2))
+    s = np.asarray(state.states)
+    pos0, yaw0, speed0 = s[:, :2], s[:, 3], np.abs(s[:, 2])
+    k = frames - 1
+    posk, yawk = fut[:, k, :2], fut[:, k, 3]
+    scene = np.asarray(pack.scene_index)
+
+    def pair_ok(p, y):
+        yd = np.abs(y[:, None] - y[None])
+        pd = np.linalg.norm(p[:, None] - p[None], axis=-1)
+        return (yd < angle_diff_max_th) & (pd > dist_min) & (pd < dist_max), pd
+
+    ok0, _ = pair_ok(pos0, yaw0)
+    okk, pdk = pair_ok(posk, yawk)
+    moving = speed0 > min_current_speed
+    valid = (
+        ok0 & okk
+        & moving[:, None] & moving[None]
+        & (scene[:, None] == scene[None])
+    )
+    np.fill_diagonal(valid, False)
+    if not valid.any():
+        return None
+    idx = np.argwhere(valid)
+    if sort_by_distance:
+        idx = idx[np.argsort(pdk[valid])]
+    i, j = int(idx[0, 0]), int(idx[0, 1])
+    # order (behind, ahead): is j ahead of i in i's frame?
+    rel = pos0[j] - pos0[i]
+    ahead = rel[0] * np.cos(yaw0[i]) + rel[1] * np.sin(yaw0[i]) > 0
+    return (i, j) if ahead else (j, i)
+
+
+def heuristic_gptcollision(pack, state, collision_radius: float = 1.0,
+                           weight: float = 5.0, **_host_only):
+    """Adversarial collision between an auto-selected pair
+    (`heuristic_gptcollision`, `scene_edit_utils.py:584-680`): the behind
+    agent attacks the agent ahead of it. `collision_radius` is part of the
+    reference's GPT-generated loss; the cld_tpu CollisionAttackLoss
+    minimizes the pair min-distance directly, so the radius only gates the
+    reference's success metric, not the gradient — accepted and unused."""
+    pair = _select_interacting_pair(pack, state, angle_diff_max_th=0.4 * np.pi,
+                                    sort_by_distance=True)
+    if pair is None:
+        return None
+    return heuristic_collision_attack(pair[0], pair[1], weight=weight)
+
+
+def heuristic_gptkeepdistance(pack, state, min_distance: float = 5.0,
+                              max_distance: float = 15.0,
+                              weight: float = 2.0, **_host_only):
+    """Keep-distance between an auto-selected pair
+    (`heuristic_gptkeepdistance`, `scene_edit_utils.py:682-780`)."""
+    pair = _select_interacting_pair(pack, state, angle_diff_max_th=0.2 * np.pi,
+                                    sort_by_distance=False)
+    if pair is None:
+        return None
+    return heuristic_keep_distance(pair[0], pair[1], min_dist=min_distance,
+                                   max_dist=max_distance, weight=weight)
 
 
 HEURISTIC_MAP = {
     "target_speed": heuristic_target_speed,
     "agent_collision": lambda pack, state, **kw: heuristic_agent_collision(pack=pack, **kw),
     "map_collision": lambda pack, state, **kw: heuristic_map_collision(**kw),
-    "speed_limit": lambda pack, state, **kw: heuristic_speed_limit(**kw),
+    "speed_limit": heuristic_speed_limit,
     "lane_following": heuristic_lane_following,
     "global_target_pos": heuristic_global_target_pos,
     "stop_sign": heuristic_stop_sign,
     "social_group": heuristic_social_group,
+    "target_pos": heuristic_target_pos,
     "target_pos_at_time": heuristic_target_pos_at_time,
     "global_target_pos_at_time": heuristic_global_target_pos_at_time,
     "global_stop_sign": heuristic_global_stop_sign,
+    "gptcollision": heuristic_gptcollision,
+    "gptkeepdistance": heuristic_gptkeepdistance,
 }
 
 
@@ -297,4 +489,72 @@ def compute_heuristic_guidance(names: Sequence[str], pack, state) -> List[Guidan
         if built is None:
             continue
         specs.extend(built if isinstance(built, list) else [built])
+    return specs
+
+
+# -- reference-config translation shim ---------------------------------------
+
+# reference param spelling -> cld_tpu builder kwarg, per heuristic name.
+# Spellings come from the signatures at scene_edit_utils.py:230-705; params
+# not listed pass through unchanged (they already share the name).
+_REF_PARAM_RENAMES = {
+    "agent_collision": {},  # num_disks, buffer_dist, decay_rate match
+    "map_collision": {},  # num_points_lw, decay_rate match
+}
+# reference knobs with no on-device meaning, accepted and dropped: `dt`
+# comes from the sim config; `action_num` (candidate actions for
+# filtration) is rollout's --num-action-samples; `target_tolerance` on the
+# UNtimed global_target_pos has no analog in GlobalTargetPosLoss (only the
+# timed variant uses it); `scale`/`horizon_length` are only meaningful for
+# the stop-sign losses (passed through there).
+_REF_DROP_PARAMS = {
+    "global_target_pos": ("action_num", "target_tolerance"),
+    "global_target_pos_at_time": ("action_num",),
+    "global_stop_sign": (),
+    "stop_sign": ("horizon_length", "num_time_steps_to_stop", "action_num",
+                  "low_speed_th"),
+    "speed_limit": (),
+    "target_speed": (),
+    "gptcollision": (),
+    "gptkeepdistance": (),
+}
+
+
+def heuristics_from_configs(configs: Sequence[dict], pack, state) -> List[GuidanceSpec]:
+    """Build specs from REFERENCE-format heuristic configs: a list of
+    `{"name", "weight", "params"}` dicts with the reference's param
+    spellings (`compute_heuristic_guidance`, `scene_edit_utils.py:806-833`)
+    — so heuristic config files written for the reference run unmodified.
+
+    `params.excluded_agents` (agent_collision) maps onto the GuidanceSpec's
+    static agent mask; host-only knobs are dropped per _REF_DROP_PARAMS."""
+    import dataclasses as _dc
+
+    specs: List[GuidanceSpec] = []
+    for cfg in configs:
+        missing = {"name", "weight", "params"} - set(cfg)
+        if missing:
+            raise ValueError(f"heuristic config missing fields {sorted(missing)}: {cfg}")
+        name = cfg["name"]
+        if name not in HEURISTIC_MAP:
+            raise KeyError(
+                f"unknown heuristic {name!r}; known: {sorted(HEURISTIC_MAP)}"
+            )
+        params = dict(cfg["params"])
+        params.pop("dt", None)  # the sim config owns dt
+        excluded = params.pop("excluded_agents", None)
+        for k in _REF_DROP_PARAMS.get(name, ()):
+            params.pop(k, None)
+        renames = _REF_PARAM_RENAMES.get(name, {})
+        params = {renames.get(k, k): v for k, v in params.items()}
+        built = HEURISTIC_MAP[name](pack, state, weight=cfg["weight"], **params)
+        if built is None:
+            continue
+        built = built if isinstance(built, list) else [built]
+        if excluded:
+            mask = np.ones(pack.num_agents, bool)
+            mask[np.asarray(excluded, int)] = False
+            built = [_dc.replace(s, agent_mask=tuple(bool(b) for b in mask))
+                     for s in built]
+        specs.extend(built)
     return specs

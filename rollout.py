@@ -55,23 +55,48 @@ from cld_tpu.utils.config import default_config, load_config
 
 
 def build_guidance_specs(args, pack, sim_cfg, num_agents):
-    """Guidance rules from --guidance configs (shorthand, inline JSON, or
-    @file) and/or scene heuristics (`rollout.py:120-302` editing_source
-    config|heuristic)."""
+    """Guidance rules from the editing sources (`reference rollout.py:288-290,
+    369-375` editing_source config|heuristic|ui|none):
+
+    * config     — --guidance configs (shorthand, inline JSON, or @file)
+    * heuristic  — --heuristics: either a name list ("stop_sign,social_group")
+                   or @file of REFERENCE-format {name, weight, params} dicts
+    * ui         — --ui-edits-file: a guidance-config JSON produced by an
+                   interactive editor, re-read fresh on every rollout
+                   invocation (the reference's UI is a host-side config
+                   producer; file-watch is the headless equivalent)
+    * none       — only explicit --guidance rules
+    """
+    sources = [s for s in args.editing_source.split(",") if s and s != "none"]
     specs = list(specs_from_configs(parse_guidance_arg(args.guidance), num_agents))
-    if args.editing_source == "heuristic":
+    if "heuristic" in sources:
         from cld_tpu.guidance.heuristics import (
             compute_heuristic_guidance,
             heuristic_collision_attack,
+            heuristics_from_configs,
         )
         from cld_tpu.sim.env import init_sim_state
 
         state0 = init_sim_state(pack, sim_cfg)
-        names = [n for n in args.heuristics.split(",") if n]
-        specs.extend(compute_heuristic_guidance(names, pack, state0))
+        if args.heuristics.startswith("@"):
+            import json as _json
+
+            with open(args.heuristics[1:]) as f:
+                specs.extend(heuristics_from_configs(_json.load(f), pack, state0))
+        else:
+            names = [n for n in args.heuristics.split(",") if n]
+            specs.extend(compute_heuristic_guidance(names, pack, state0))
         if args.attack_pair:
             a, v = (int(s) for s in args.attack_pair.split(","))
             specs.append(heuristic_collision_attack(a, v))
+    if "ui" in sources:
+        if not args.ui_edits_file:
+            raise SystemExit("--editing-source ui requires --ui-edits-file")
+        specs.extend(
+            specs_from_configs(
+                parse_guidance_arg("@" + args.ui_edits_file), num_agents
+            )
+        )
     return specs
 
 
@@ -248,12 +273,20 @@ def main():
     parser.add_argument("--guidance", type=str, default="",
                         help="e.g. 'speed_limit:15,agent_collision'")
     parser.add_argument("--editing-source", type=str, default="config",
-                        choices=["config", "heuristic"],
-                        help="heuristic: auto-build guidance from scene state "
-                             "(scene_edit_utils.py:809 compute_heuristic_guidance)")
+                        help="comma list of config|heuristic|ui|none "
+                             "(reference rollout.py:288-290). heuristic: "
+                             "auto-build guidance from scene state "
+                             "(scene_edit_utils.py:809); ui: read guidance "
+                             "configs from --ui-edits-file (fresh each run)")
     parser.add_argument("--heuristics", type=str,
                         default="target_speed,agent_collision,map_collision",
-                        help="comma list for --editing-source heuristic")
+                        help="comma list for --editing-source heuristic, or "
+                             "@file.json of reference-format "
+                             "{name, weight, params} heuristic configs")
+    parser.add_argument("--ui-edits-file", type=str, default=None,
+                        help="guidance-config JSON for --editing-source ui; "
+                             "re-read on every invocation (forces one scene, "
+                             "reference rollout.py:373-375)")
     parser.add_argument("--attack-pair", type=str, default=None,
                         help="'attacker,victim' agent indices for an "
                              "adversarial collision-attack rule")
@@ -294,6 +327,10 @@ def main():
                              "--render_size analogue)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+
+    if "ui" in args.editing_source.split(","):
+        # UI edits target a single scene (reference rollout.py:373-375)
+        args.num_scenes = 1
 
     if args.registered_name:
         from cld_tpu.utils.registry import get_registered_experiment_config

@@ -177,3 +177,199 @@ def test_hierarchical_policy_tracks_gt_plan():
     states = unicycle_forward_dynamics(dyn, curr, a.controls, 0.1)
     err = np.abs(np.asarray(states[..., :2]) - np.asarray(batch.target_positions))
     assert err.max() < 0.1  # tracked to within 10 cm over 5.2 s
+
+
+# -- reference-format heuristic configs (scene_edit_utils.py param spellings) --
+
+
+def _pack_and_state(num_scenes=1, agents=4):
+    pack = synthetic_scene_pack(seed=0, num_scenes=num_scenes,
+                                agents_per_scene=agents, sim_steps=30)
+    cfg = SimConfig(num_simulation_steps=30, n_step_action=5, raster_size=32,
+                    hist_frames=4)
+    return pack, init_sim_state(pack, cfg)
+
+
+def test_heuristic_target_pos_builder():
+    """Plain target_pos (`scene_edit_utils.py:386-394`): same GT waypoint as
+    the timed variant, bound to the untimed TargetPosLoss."""
+    from cld_tpu.guidance.heuristics import (
+        heuristic_target_pos,
+        heuristic_target_pos_at_time,
+    )
+    from cld_tpu.guidance.losses import TargetPosLoss
+
+    pack, state = _pack_and_state()
+    spec = heuristic_target_pos(pack, state, target_time=20)
+    timed = heuristic_target_pos_at_time(pack, state, target_time=20)
+    assert isinstance(spec.loss, TargetPosLoss)
+    np.testing.assert_allclose(spec.loss.target_pos, timed.loss.target_pos)
+    # the loss evaluates finitely on a plausible trajectory
+    ctx = GuidanceContext(
+        drivable_map=jnp.ones((pack.num_agents, 32, 32)),
+        raster_from_agent=jnp.tile(jnp.eye(3), (pack.num_agents, 1, 1)),
+        extent=jnp.ones((pack.num_agents, 3)),
+        curr_speed=state.states[:, 2],
+        world_from_agent=world_from_agent_matrix(state.states[:, :2], state.states[:, 3]),
+        scene_index=pack.scene_index,
+    )
+    x = jnp.zeros((pack.num_agents, 1, 52, 6))
+    val = spec.loss(x, ctx)
+    assert np.isfinite(np.asarray(val)).all()
+
+
+def test_heuristics_from_reference_configs():
+    """Reference-format {name, weight, params} configs with the reference's
+    param spellings build directly (`compute_heuristic_guidance`,
+    `scene_edit_utils.py:806-833`)."""
+    from cld_tpu.guidance.heuristics import heuristics_from_configs
+    from cld_tpu.guidance.losses import (
+        AgentCollisionLoss,
+        GlobalTargetPosAtTimeLoss,
+        MapCollisionLoss,
+        SpeedLimitLoss,
+        StopSignLoss,
+        TargetSpeedLoss,
+    )
+
+    pack, state = _pack_and_state()
+    configs = [
+        # exactly the reference signatures, incl. host-only knobs
+        {"name": "agent_collision", "weight": 10.0,
+         "params": {"num_disks": 4, "buffer_dist": 0.3, "decay_rate": 0.8,
+                    "excluded_agents": [1]}},
+        {"name": "map_collision", "weight": 10.0,
+         "params": {"num_points_lw": [6, 6], "decay_rate": 0.9}},
+        {"name": "global_target_pos_at_time", "weight": 2.0,
+         "params": {"target_time": 15, "urgency": 0.6, "pref_speed": 3.0,
+                    "target_tolerance": 2.0, "action_num": 5,
+                    "perturb_std": 0.1}},
+        {"name": "stop_sign", "weight": 5.0,
+         "params": {"target_time": 10, "stop_box_dim": [10.0, 6.0],
+                    "scale": 2.0, "horizon_length": 52,
+                    "num_time_steps_to_stop": 3, "action_num": 5,
+                    "low_speed_th": 0.5}},
+        {"name": "speed_limit", "weight": 1.0,
+         "params": {"speed_limit_quantile": 0.9, "low_speed_th": 0.3,
+                    "fut_sec": 2.0}},
+        {"name": "target_speed", "weight": 1.0,
+         "params": {"target_speed_multiplier": 1.2, "fut_sec": 2.0}},
+        {"name": "target_pos", "weight": 1.0,
+         "params": {"target_time": 10, "perturb_std": 0.0}},
+        {"name": "dummy_dt_passthrough", "weight": 1.0, "params": {}},
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        heuristics_from_configs(configs, pack, state)
+    configs = configs[:-1]
+    specs = heuristics_from_configs(configs, pack, state)
+    assert len(specs) == 7
+    by_type = {type(s.loss).__name__: s for s in specs}
+    ac = by_type["AgentCollisionLoss"]
+    assert isinstance(ac.loss, AgentCollisionLoss)
+    assert ac.loss.num_disks == 4 and ac.loss.decay_rate == 0.8
+    # excluded_agents -> static agent mask
+    assert ac.agent_mask == (True, False, True, True)
+    mc = by_type["MapCollisionLoss"]
+    assert isinstance(mc.loss, MapCollisionLoss)
+    assert mc.loss.num_points_lw == (6, 6)
+    gt = by_type["GlobalTargetPosAtTimeLoss"]
+    assert isinstance(gt.loss, GlobalTargetPosAtTimeLoss)
+    assert gt.loss.pref_speed == 3.0 and gt.weight == 2.0
+    ss = by_type["StopSignLoss"]
+    assert isinstance(ss.loss, StopSignLoss)
+    # reference stop_box_dim is FULL dims; the loss takes half extents
+    np.testing.assert_allclose(np.asarray(ss.loss.stop_box_dim)[0], [5.0, 3.0])
+    assert ss.loss.scale == 2.0
+    sl = by_type["SpeedLimitLoss"]
+    assert isinstance(sl.loss, SpeedLimitLoss)
+    assert np.isfinite(sl.loss.speed_limit)
+    tsp = by_type["TargetSpeedLoss"]
+    assert isinstance(tsp.loss, TargetSpeedLoss)
+    assert np.asarray(tsp.loss.target_speed).shape == (pack.num_agents,)
+
+
+def test_gpt_pair_heuristics():
+    """gptcollision/gptkeepdistance auto-select a (behind, ahead) same-scene
+    pair (`scene_edit_utils.py:584-780`)."""
+    from cld_tpu.guidance.heuristics import (
+        heuristic_gptcollision,
+        heuristic_gptkeepdistance,
+    )
+
+    pack, state = _pack_and_state(agents=4)
+    # craft an unambiguous interacting pair: agents 0 (behind) and 1 (ahead),
+    # same heading, 15 m apart, both moving; agents 2/3 stopped
+    s = np.zeros((pack.num_agents, 4), np.float32)
+    s[0] = [0.0, 0.0, 4.0, 0.0]
+    s[1] = [15.0, 0.0, 4.0, 0.0]
+    s[2] = [100.0, 100.0, 0.0, 0.0]
+    s[3] = [200.0, 200.0, 0.0, 0.0]
+    state = state._replace(states=jnp.asarray(s))
+    atk = heuristic_gptcollision(pack, state)
+    assert atk is not None
+    assert atk.loss.attacker_ind == 0 and atk.loss.victim_ind == 1
+    kd = heuristic_gptkeepdistance(pack, state, min_distance=4.0,
+                                   max_distance=12.0)
+    assert kd is not None
+    assert kd.loss.target_ind == 0 and kd.loss.ref_ind == 1
+    assert kd.loss.min_dist == 4.0 and kd.loss.max_dist == 12.0
+
+
+def test_rollout_ui_editing_source(tmp_path):
+    """--editing-source ui: guidance configs read from a JSON file
+    (headless equivalent of reference rollout.py:373 UI edits)."""
+    import json
+    import types
+
+    from rollout import build_guidance_specs
+
+    pack, sim_cfg_state = _pack_and_state()
+    sim_cfg = SimConfig(num_simulation_steps=30, n_step_action=5,
+                        raster_size=32, hist_frames=4)
+    edits = [{"name": "speed_limit", "weight": 3.0,
+              "params": {"speed_limit": 10.0}}]
+    f = tmp_path / "ui_edits.json"
+    f.write_text(json.dumps(edits))
+    args = types.SimpleNamespace(
+        guidance="", editing_source="ui", heuristics="", attack_pair=None,
+        ui_edits_file=str(f),
+    )
+    specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
+    assert len(specs) == 1 and specs[0].weight == 3.0
+    assert specs[0].loss.speed_limit == 10.0
+    # file edited between invocations -> fresh specs
+    edits[0]["params"]["speed_limit"] = 7.0
+    f.write_text(json.dumps(edits))
+    specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
+    assert specs[0].loss.speed_limit == 7.0
+    # missing file is a hard error, not silence
+    args.ui_edits_file = None
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
+
+
+def test_heuristics_file_arg(tmp_path):
+    """--heuristics @file.json: reference-format heuristic configs."""
+    import json
+    import types
+
+    from rollout import build_guidance_specs
+
+    pack, _ = _pack_and_state()
+    sim_cfg = SimConfig(num_simulation_steps=30, n_step_action=5,
+                        raster_size=32, hist_frames=4)
+    cfgs = [{"name": "map_collision", "weight": 4.0,
+             "params": {"num_points_lw": [8, 8], "decay_rate": 0.9}}]
+    f = tmp_path / "heur.json"
+    f.write_text(json.dumps(cfgs))
+    args = types.SimpleNamespace(
+        guidance="", editing_source="heuristic", heuristics=f"@{f}",
+        attack_pair=None, ui_edits_file=None,
+    )
+    specs = build_guidance_specs(args, pack, sim_cfg, pack.num_agents)
+    assert len(specs) == 1 and specs[0].weight == 4.0
+    assert specs[0].loss.num_points_lw == (8, 8)
