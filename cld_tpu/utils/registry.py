@@ -54,10 +54,70 @@ def _cld_ppo():
     return cfg
 
 
-def _zoo_config(algo_name: str, **algo_overrides):
+# -- dataset axis -------------------------------------------------------------
+# Per-dataset env presets, mirroring the reference's env-config classes
+# (`l5kit_config.py:69-72`, `trajdata_eupeds_config.py:59-110`,
+# `orca_config.py:73-97`, `trajdata_nuplan_*_config.py`). Dataset availability
+# is a site concern (data/convert.py ingests any trajdata source into packed
+# shards); these presets record the rasterization/timing/type knobs of record.
+_DATASET_ENV = {
+    # nuScenes via trajdata: the config of record (defaults)
+    "nusc": {},
+    # Lyft Level 5: same raster geometry as nusc in the reference
+    "l5": {"source": "lyft_train", "sem_layers": 3},
+    # ETH/UCY pedestrians: mapless, dt=0.4, 8 hist / 12 fut (benchmark setting)
+    "eupeds": {
+        "source": "eupeds_eth-train_loo",
+        "sem_layers": 0, "incl_map": False, "pixel_size": 0.1,
+        "only_types": ["pedestrian"], "step_time": 0.4,
+        "history_num_frames": 8, "future_num_frames": 12, "batch_size": 400,
+    },
+    # ORCA simulated pedestrians: 2-layer map at 1/12 m/px
+    "orca": {
+        "source": "orca_maps-train",
+        "sem_layers": 2, "pixel_size": 1.0 / 12.0,
+        "only_types": ["pedestrian"],
+    },
+    "nuplan": {"source": "nuplan_mini-train", "sem_layers": 3},
+    # *_ped / *_all variants: agent-type filters on the vehicle configs
+    "nusc_ped": {"only_types": ["pedestrian"]},
+    "nusc_all": {"only_types": ["vehicle", "pedestrian"]},
+    "nuplan_ped": {"source": "nuplan_mini-train", "only_types": ["pedestrian"]},
+    "nuplan_all": {"source": "nuplan_mini-train",
+                   "only_types": ["vehicle", "pedestrian"]},
+    "drivesim": {"source": "drivesim-train"},
+}
+
+
+def _dataset_config(dataset: str):
+    d = _DATASET_ENV[dataset]
+    cfg = default_config()
+    cfg.env.dataset = dataset
+    if "source" in d:
+        cfg.train.trajdata_source_train = d["source"]
+    if "sem_layers" in d:
+        cfg.env.rasterizer.num_sem_layers = d["sem_layers"]
+    if "pixel_size" in d:
+        cfg.env.rasterizer.pixel_size = d["pixel_size"]
+    cfg.env.data_generation_params.trajdata_incl_map = d.get("incl_map", True)
+    if "only_types" in d:
+        cfg.env.data_generation_params.trajdata_only_types = d["only_types"]
+    if "step_time" in d:
+        cfg.algo.step_time = d["step_time"]
+    if "history_num_frames" in d:
+        cfg.algo.history_num_frames = d["history_num_frames"]
+    if "future_num_frames" in d:
+        cfg.algo.future_num_frames = d["future_num_frames"]
+        cfg.algo.horizon = d["future_num_frames"]
+    if "batch_size" in d:
+        cfg.train.training.batch_size = d["batch_size"]
+    return cfg
+
+
+def _zoo_config(algo_name: str, dataset: str = "nusc", **algo_overrides):
     """Shared builder for the baseline-algo entries
     (`registry.py:92-366`): train.mode=zoo + the factory algo name."""
-    cfg = default_config()
+    cfg = _dataset_config(dataset)
     cfg.train.mode = "zoo"
     cfg.algo.name = algo_name
     for k, v in algo_overrides.items():
@@ -65,62 +125,106 @@ def _zoo_config(algo_name: str, **algo_overrides):
     return cfg
 
 
-# nuScenes baseline families (`registry.py:190-267` nusc_* entries and their
-# `trajdata_nusc_*` aliases, `:296-336`). The l5 / eupeds / orca / nuplan
-# dataset variants are out of scope with the l5kit/zarr backend (PARITY §2c);
-# the algo axis is fully covered.
-for _name, _algo in [
-    ("nusc_bc", "bc"),
-    ("nusc_bc_gc", "bc_gc"),
-    ("nusc_vae", "vae"),
-    ("nusc_discrete_vae", "discrete_vae"),
-    ("nusc_transformer", "TransformerPred"),
-    ("nusc_diff", "diff"),
-    ("trajdata_nusc_bc", "bc"),
-    ("trajdata_nusc_vae", "vae"),
-    ("trajdata_nusc_diff", "diff"),
-    ("trajdata_nusc_strive", "vae"),  # STRIVE optimizes a trained VAE's latents
-    ("nusc_spatial_planner", "spatial_planner"),
-    ("trajdata_nusc_spatial_planner", "spatial_planner"),
-    ("nusc_occupancy", "occupancy"),
-    ("nusc_agent_predictor", "agent_predictor"),
-    ("trajdata_nusc_agent_predictor", "agent_predictor"),
-    ("nusc_tree_vae", "tree_vae"),
-    ("nusc_bc_ec", "bc_ec"),
-]:
-    EXP_CONFIG_REGISTRY[_name] = (lambda a=_algo: _zoo_config(a))
-
-
-@register_experiment("nusc_gan")
-def _nusc_gan():
-    cfg = default_config()
-    cfg.train.mode = "gan"
+def _mode_config(mode: str, dataset: str = "nusc", **algo_overrides):
+    cfg = _dataset_config(dataset)
+    cfg.train.mode = mode
+    for k, v in algo_overrides.items():
+        setattr(cfg.algo, k, v)
     return cfg
 
 
-@register_experiment("nusc_transformer_gan")
-def _nusc_transformer_gan():
-    """TransformerGANTrafficModel (`factory.py:68-69`): GAN objective with
-    the per-timestep-token transformer generator."""
-    cfg = default_config()
-    cfg.train.mode = "gan"
-    cfg.algo.gan_generator_arch = "transformer"
-    return cfg
+# Every named experiment of the reference registry
+# (`/root/reference/src/tbsim/configs/registry.py:92-443`), one row per name:
+# (name, dataset, kind, algo-or-None). kind "zoo" -> training/zoo.py
+# algo_factory; other kinds are dedicated train.py modes. Notes:
+# * *_strive: STRIVE trains the same CVAE and adversarially optimizes its
+#   latents at eval time (models/latent_attack.py).
+# * nusc_diff_stack: the diffuser algo; the reference's diffstack planner
+#   coupling is rollout-side in cld_tpu (policies/planner.py composers).
+# * l5_* zarr-backend entries map onto the trajdata ingestion path — the
+#   raster/timing knobs match `l5kit_config.py:69-72`.
+_REFERENCE_EXPERIMENTS = [
+    # l5kit family (registry.py:92-188)
+    ("l5_bc", "l5", "zoo", "bc"),
+    ("l5_gan", "l5", "gan", None),
+    ("l5_bc_gc", "l5", "zoo", "bc_gc"),
+    ("l5_spatial_planner", "l5", "zoo", "spatial_planner"),
+    ("l5_agent_predictor", "l5", "zoo", "agent_predictor"),
+    ("l5_vae", "l5", "zoo", "vae"),
+    ("l5_bc_ec", "l5", "zoo", "bc_ec"),
+    ("l5_discrete_vae", "l5", "zoo", "discrete_vae"),
+    ("l5_tree_vae", "l5", "zoo", "tree_vae"),
+    ("l5_transformer", "l5", "zoo", "TransformerPred"),
+    ("l5_transformer_gan", "l5", "gan", "transformer"),
+    ("l5_ebm", "l5", "ebm", None),
+    ("l5_occupancy", "l5", "zoo", "occupancy"),
+    ("l5_diff", "l5", "zoo", "diff"),
+    # nuScenes family (registry.py:190-267)
+    ("nusc_bc", "nusc", "zoo", "bc"),
+    ("nusc_bc_gc", "nusc", "zoo", "bc_gc"),
+    ("nusc_spatial_planner", "nusc", "zoo", "spatial_planner"),
+    ("nusc_vae", "nusc", "zoo", "vae"),
+    ("nusc_discrete_vae", "nusc", "zoo", "discrete_vae"),
+    ("nusc_tree_vae", "nusc", "zoo", "tree_vae"),
+    ("nusc_diff_stack", "nusc", "zoo", "diff"),
+    ("nusc_agent_predictor", "nusc", "zoo", "agent_predictor"),
+    ("nusc_gan", "nusc", "gan", None),
+    ("nusc_occupancy", "nusc", "zoo", "occupancy"),
+    ("nusc_diff", "nusc", "zoo", "diff"),
+    # cld_tpu extras kept from earlier rounds (capability names)
+    ("nusc_transformer", "nusc", "zoo", "TransformerPred"),
+    ("nusc_bc_ec", "nusc", "zoo", "bc_ec"),
+    ("nusc_transformer_gan", "nusc", "gan", "transformer"),
+    ("nusc_ebm", "nusc", "ebm", None),
+    # pedestrian datasets (registry.py:268-295)
+    ("eupeds_bc", "eupeds", "zoo", "bc"),
+    ("eupeds_vae", "eupeds", "zoo", "vae"),
+    ("orca_bc", "orca", "zoo", "bc"),
+    ("orca_diff", "orca", "zoo", "diff"),
+    # trajdata_* aliases (registry.py:296-366)
+    ("trajdata_nusc_bc", "nusc", "zoo", "bc"),
+    ("trajdata_nusc_vae", "nusc", "zoo", "vae"),
+    ("trajdata_nusc_spatial_planner", "nusc", "zoo", "spatial_planner"),
+    ("trajdata_nusc_agent_predictor", "nusc", "zoo", "agent_predictor"),
+    ("trajdata_nusc_diff", "nusc", "zoo", "diff"),
+    ("trajdata_nusc_strive", "nusc", "zoo", "vae"),
+    ("trajdata_l5_bc", "l5", "zoo", "bc"),
+    ("trajdata_l5_vae", "l5", "zoo", "vae"),
+    ("trajdata_l5_spatial_planner", "l5", "zoo", "spatial_planner"),
+    ("trajdata_l5_agent_predictor", "l5", "zoo", "agent_predictor"),
+    ("trajdata_l5_diff", "l5", "zoo", "diff"),
+    # ped/all diffusion variants (registry.py:373-385)
+    ("nusc_ped_diff", "nusc_ped", "zoo", "diff"),
+    ("nusc_all_diff", "nusc_all", "zoo", "diff"),
+    # nuPlan family (registry.py:387-423)
+    ("trajdata_nuplan_bc", "nuplan", "zoo", "bc"),
+    ("trajdata_nuplan_spatial_planner", "nuplan", "zoo", "spatial_planner"),
+    ("trajdata_nuplan_agent_predictor", "nuplan", "zoo", "agent_predictor"),
+    ("trajdata_nuplan_diff", "nuplan", "zoo", "diff"),
+    ("trajdata_nuplan_ped_diff", "nuplan_ped", "zoo", "diff"),
+    ("trajdata_nuplan_all_diff", "nuplan_all", "zoo", "diff"),
+    # CTG++ scene diffusion (registry.py:425-443)
+    ("trajdata_nusc_scene_diff", "nusc", "scene_dm", None),
+    ("trajdata_nuplan_scene_diff", "nuplan", "scene_dm", None),
+    ("trajdata_drivesim_diff", "drivesim", "zoo", "diff"),
+]
 
-
-@register_experiment("nusc_ebm")
-def _nusc_ebm():
-    cfg = default_config()
-    cfg.train.mode = "ebm"
-    return cfg
-
-
-@register_experiment("trajdata_nusc_scene_diff")
-def _nusc_scene_diff():
-    """CTG++ scene diffusion (`registry.py:430-436`)."""
-    cfg = default_config()
-    cfg.train.mode = "scene_dm"
-    return cfg
+for _name, _ds, _kind, _algo in _REFERENCE_EXPERIMENTS:
+    if _kind == "zoo":
+        EXP_CONFIG_REGISTRY[_name] = (
+            lambda a=_algo, d=_ds: _zoo_config(a, dataset=d)
+        )
+    elif _kind == "gan":
+        EXP_CONFIG_REGISTRY[_name] = (
+            lambda d=_ds, arch=_algo: _mode_config(
+                "gan", dataset=d,
+                **({"gan_generator_arch": arch} if arch else {}),
+            )
+        )
+    else:
+        EXP_CONFIG_REGISTRY[_name] = (
+            lambda d=_ds, m=_kind: _mode_config(m, dataset=d)
+        )
 
 
 @register_experiment("cld_smoke")

@@ -129,6 +129,57 @@ def test_registry():
         get_registered_experiment_config("nonexistent")
 
 
+def test_registry_covers_reference_names():
+    """Every named experiment of the reference registry
+    (`registry.py:92-443`) resolves here, builds a locked config, and its
+    algo/mode is reachable by train.py."""
+    from cld_tpu.utils.registry import EXP_CONFIG_REGISTRY
+    from cld_tpu.training.zoo import ALGO_FACTORY
+
+    reference_names = [
+        "l5_bc", "l5_gan", "l5_bc_gc", "l5_spatial_planner",
+        "l5_agent_predictor", "l5_vae", "l5_bc_ec", "l5_discrete_vae",
+        "l5_tree_vae", "l5_transformer", "l5_transformer_gan", "l5_ebm",
+        "l5_occupancy", "l5_diff",
+        "nusc_bc", "nusc_bc_gc", "nusc_spatial_planner", "nusc_vae",
+        "nusc_discrete_vae", "nusc_tree_vae", "nusc_diff_stack",
+        "nusc_agent_predictor", "nusc_gan", "nusc_occupancy", "nusc_diff",
+        "eupeds_bc", "eupeds_vae", "orca_bc", "orca_diff",
+        "trajdata_nusc_bc", "trajdata_nusc_vae",
+        "trajdata_nusc_spatial_planner", "trajdata_nusc_agent_predictor",
+        "trajdata_nusc_diff", "trajdata_nusc_strive",
+        "trajdata_l5_bc", "trajdata_l5_vae", "trajdata_l5_spatial_planner",
+        "trajdata_l5_agent_predictor", "trajdata_l5_diff",
+        "nusc_ped_diff", "nusc_all_diff",
+        "trajdata_nuplan_bc", "trajdata_nuplan_spatial_planner",
+        "trajdata_nuplan_agent_predictor", "trajdata_nuplan_diff",
+        "trajdata_nuplan_ped_diff", "trajdata_nuplan_all_diff",
+        "trajdata_nusc_scene_diff", "trajdata_nuplan_scene_diff",
+        "trajdata_drivesim_diff",
+    ]
+    missing = [n for n in reference_names if n not in EXP_CONFIG_REGISTRY]
+    assert not missing, f"reference registry names missing: {missing}"
+
+    train_modes = {"vae", "dm", "ppo", "test", "scene_dm", "ebm", "zoo", "gan"}
+    for name in EXP_CONFIG_REGISTRY:
+        cfg = get_registered_experiment_config(name)
+        assert cfg.train.mode in train_modes, (name, cfg.train.mode)
+        if cfg.train.mode == "zoo":
+            assert cfg.algo.name in ALGO_FACTORY, (name, cfg.algo.name)
+        # locked: typo keys rejected
+        with pytest.raises(KeyError):
+            cfg.definitely_not_a_key = 1
+
+    # dataset presets carry the reference env knobs
+    eupeds = get_registered_experiment_config("eupeds_bc")
+    assert eupeds.env.rasterizer.num_sem_layers == 0
+    assert eupeds.env.data_generation_params.trajdata_incl_map is False
+    assert eupeds.algo.step_time == 0.4 and eupeds.algo.future_num_frames == 12
+    orca = get_registered_experiment_config("orca_diff")
+    assert orca.env.rasterizer.num_sem_layers == 2
+    assert orca.env.data_generation_params.trajdata_only_types == ["pedestrian"]
+
+
 def test_rollout_logger_hdf5(tmp_path):
     import h5py
 
