@@ -553,12 +553,12 @@ def bench_ppo(cfg, dm_trainer, dm_state, batch):
     results["ppo_collect_steps_per_sec"] = round(iters / (time.perf_counter() - t0), 2)
 
     t0 = time.perf_counter()
-    dm_state2, loss = ppo.ppo_update(dm_state, buf, jax.random.key(40))
-    jax.block_until_ready(loss)
+    dm_state2, pm = ppo.ppo_update(dm_state, buf, jax.random.key(40))
+    jax.block_until_ready(pm["loss"])
     log(f"ppo update compiled+warm in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    dm_state2, loss = ppo.ppo_update(dm_state2, buf, jax.random.key(41))
-    jax.block_until_ready(loss)
+    dm_state2, pm = ppo.ppo_update(dm_state2, buf, jax.random.key(41))
+    jax.block_until_ready(pm["loss"])
     wall = time.perf_counter() - t0
     n_iters = ppo.ppo_epochs * ppo.update_times
     results["ppo_update_phase_seconds"] = round(wall, 2)

@@ -119,10 +119,16 @@ class PPOTrainer:
         self.test_step = jax.jit(self._test_step)
 
     # -- experience collection (`guide_dm_trainer.py:84-118`) -----------
-    def decode_samples(self, x0: jnp.ndarray, aux_info, batch_size: int):
-        """Latents -> (descaled, scaled) [B, N, T, 6] trajectories."""
+    def decode_samples(self, x0: jnp.ndarray, aux_info, batch_size: int,
+                       num_samp: int | None = None):
+        """Latents -> (descaled, scaled) [B, N, T, 6] trajectories.
+
+        num_samp: samples per scene in x0 (defaults to the config's
+        collection count; eval paths that sample once pass 1)."""
         from cld_tpu.models.vae import decode_actions
 
+        if num_samp is None:
+            num_samp = self.num_samp
         cond = aux_info["cond_feat"]
         # decode_actions dispatches to the fused pallas LSTM decoder on TPU
         # (VJP-exact, so PPO-gradient-safe) — the hot decode of every
@@ -133,7 +139,7 @@ class PPOTrainer:
             actions, curr_states, self.dyn_params, self.normalizer,
             self.dt, scaled_input=True, descaled_output=True,
         )
-        descaled = descaled.reshape(batch_size, self.num_samp, *descaled.shape[1:])
+        descaled = descaled.reshape(batch_size, num_samp, *descaled.shape[1:])
         scaled = self.normalizer.scale(descaled)
         return descaled, scaled
 
@@ -162,7 +168,12 @@ class PPOTrainer:
     # -- clipped-surrogate updates (`guide_dm_trainer.py:127-183`) ------
     def _ppo_update(
         self, dm_state: train_state.TrainState, buf: ReplayBufferState, rng: jax.Array
-    ) -> Tuple[train_state.TrainState, jnp.ndarray]:
+    ) -> Tuple[train_state.TrainState, Dict[str, jnp.ndarray]]:
+        """Returns (new_state, metrics): metrics carries the mean surrogate
+        `loss` plus the standard PPO health stats — mean/max importance
+        `ratio`, `clip_fraction` (share of samples at the clip boundary),
+        and `approx_kl` (mean logp_old - logp_new) — averaged over all
+        epochs x iters of the update phase."""
         n_iters = self.ppo_epochs * self.update_times
         rngs = jax.random.split(rng, n_iters)
         schedule = self.dm.schedule
@@ -179,17 +190,31 @@ class PPOTrainer:
 
             def loss_fn(params):
                 logp_new = transition_log_prob(denoise(params), schedule, x1, x0, cond, t)
-                ratio = jnp.exp(logp_new - logp_old)
+                diff = logp_new - logp_old
+                ratio = jnp.exp(diff)
                 surr1 = ratio * adv
                 surr2 = jnp.clip(ratio, 1 - self.clip_eps, 1 + self.clip_eps) * adv
-                return -jnp.mean(jnp.minimum(surr1, surr2))
+                loss = -jnp.mean(jnp.minimum(surr1, surr2))
+                stats = {
+                    "ratio_mean": ratio.mean(),
+                    "ratio_max": ratio.max(),
+                    "clip_fraction": jnp.mean(
+                        (jnp.abs(ratio - 1.0) > self.clip_eps).astype(jnp.float32)
+                    ),
+                    "approx_kl": -diff.mean(),
+                }
+                return loss, stats
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
             state = state.apply_gradients(grads=grads)
-            return state, loss
+            return state, {"loss": loss, **stats}
 
-        dm_state, losses = jax.lax.scan(body, dm_state, rngs)
-        return dm_state, losses.mean()
+        dm_state, seq = jax.lax.scan(body, dm_state, rngs)
+        metrics = {k: v.mean() for k, v in seq.items()}
+        metrics["ratio_max"] = seq["ratio_max"].max()
+        return dm_state, metrics
 
     # -- eval (`guide_dm_trainer.py:204-295`) ----------------------------
     def _test_step(self, dm_state, batch: TrafficBatch, rng: jax.Array):
@@ -206,7 +231,8 @@ class PPOTrainer:
             "cond_feat": out["cond_feat"],
             "curr_states": out["aux_info"]["curr_states"],
         }
-        descaled, scaled = self.decode_samples(out["pred_traj"], aux_rep, B)
+        descaled, scaled = self.decode_samples(out["pred_traj"], aux_rep, B,
+                                               num_samp=1)
         descaled_flat = descaled[:, 0]
         scaled_flat = scaled[:, 0]
         rates = failure_rate(descaled_flat, batch)

@@ -62,8 +62,9 @@ def main():
                       cfg.algo.vae.latent_size, cfg.algo.cond_feat_dim)
     for step in range(4):
         buf, m = ppo.collect_step(dm_state, buf, batch, jax.random.fold_in(rng, step))
-    dm_state, ppo_loss = ppo.ppo_update(dm_state, buf, jax.random.key(2))
-    print(f"  reward {float(m['reward']):.3f}, ppo loss {float(ppo_loss):.4f}")
+    dm_state, pm = ppo.ppo_update(dm_state, buf, jax.random.key(2))
+    print(f"  reward {float(m['reward']):.3f}, ppo loss {float(pm['loss']):.4f}, "
+          f"clip_fraction {float(pm['clip_fraction']):.2f}")
 
     print("== closed loop: adversarial collision attack ==")
     pack = synthetic_scene_pack(seed=0, num_scenes=1, agents_per_scene=4, sim_steps=40)

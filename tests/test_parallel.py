@@ -118,7 +118,7 @@ def test_ppo_collect_and_update_sharded_matches_single(smoke_stages):
         )
 
     buf_s, m_s = ppo.collect_step(dm_state, fresh_buf(), batch, jax.random.key(5))
-    new_s, loss_s = ppo.ppo_update(dm_state, buf_s, jax.random.key(6))
+    new_s, pm_s = ppo.ppo_update(dm_state, buf_s, jax.random.key(6))
 
     mesh = make_mesh()
     buf_m, m_m = ppo.collect_step(
@@ -132,10 +132,10 @@ def test_ppo_collect_and_update_sharded_matches_single(smoke_stages):
         np.asarray(buf_m.x0), np.asarray(buf_s.x0), rtol=5e-3, atol=5e-4
     )
 
-    new_m, loss_m = ppo.ppo_update(
+    new_m, pm_m = ppo.ppo_update(
         replicate(dm_state, mesh), replicate(buf_s, mesh), jax.random.key(6)
     )
-    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=2e-4)
+    np.testing.assert_allclose(float(pm_m["loss"]), float(pm_s["loss"]), rtol=2e-4)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-5

@@ -138,8 +138,12 @@ def test_ppo_collect_and_update(cfg, batch, dm_setup):
     buf, metrics = ppo.collect_step(dm_state, buf, batch, jax.random.key(5))
     assert int(buf.size) == 2  # B * num_samp
     assert np.isfinite(float(metrics["reward"]))
-    new_state, loss = ppo.ppo_update(dm_state, buf, jax.random.key(6))
-    assert np.isfinite(float(loss))
+    new_state, pm = ppo.ppo_update(dm_state, buf, jax.random.key(6))
+    assert np.isfinite(float(pm["loss"]))
+    # PPO health stats present and sane
+    assert 0.0 <= float(pm["clip_fraction"]) <= 1.0
+    assert np.isfinite(float(pm["ratio_mean"]))
+    assert np.isfinite(float(pm["approx_kl"]))
     # params actually moved
     diff = jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()), dm_state.params, new_state.params

@@ -191,8 +191,11 @@ def train_ppo(cfg, args):
         batch = shard_batch(next(it), mesh)
         buf, metrics = ppo.collect_step(dm_state, buf, batch, collect_rng)
         if (step + 1) % update_interval == 0:
-            dm_state, ppo_loss = ppo.ppo_update(dm_state, buf, update_rng)
-            metrics["ppo_loss"] = ppo_loss
+            dm_state, pm = ppo.ppo_update(dm_state, buf, update_rng)
+            metrics["ppo_loss"] = pm["loss"]
+            metrics["ppo_clip_fraction"] = pm["clip_fraction"]
+            metrics["ppo_ratio_mean"] = pm["ratio_mean"]
+            metrics["ppo_approx_kl"] = pm["approx_kl"]
         logger.log(step, metrics)
         if cfg.train.save.enabled and (step + 1) % cfg.train.save.every_n_steps == 0:
             save_pytree(os.path.join(out_dir, f"ckpt_{step + 1}"), {"params": dm_state.params})
