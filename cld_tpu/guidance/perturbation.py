@@ -9,8 +9,13 @@ Capability parity with `PerturbationGuidance`
   `grad_steps` hand-rolled Adam updates via `jax.grad`, so it nests inside
   the jitted sampling scan;
 * `perturb_th` clipping bounds the *cumulative* delta from the initial
-  value, exactly as the reference clips `x_guidance - x_initial`
-  (`:2274-2279`); a per-step sigma schedule can scale it
+  value. NOTE a reference quirk we deliberately do NOT reproduce: in the
+  reference's plain `perturb` the clip is dead code — `x_guidance =
+  x_initial` aliases and torch.optim mutates in place, so
+  `x_guidance - x_initial == 0` always (`:2239,2274-2279`). Our live clip
+  follows the `perturb_video_diffusion` path (`:2324-2328`), where
+  `x_guidance = x_initial + x_delta` makes the clip effective — the
+  intended semantics. A per-step sigma schedule can scale the threshold
   (`models/diffuser.py:875-905` clean-vs-noisy guidance);
 * a `decode_fn` indirection supports latent-space guidance: the cost is
   evaluated on the decoded (VAE + unicycle) trajectory while the gradient
