@@ -32,9 +32,12 @@ This module fuses the whole stack into two pallas kernels:
 Cell math matches ``flax.linen.OptimizedLSTMCell`` exactly (gate order
 i, f, g, o; i/f/o sigmoid, g tanh; c' = f*c + i*g; h' = o*tanh(c');
 input kernels bias-free, recurrent kernels biased) so the kernels run on
-unchanged `LSTMVAE` checkpoints. In-kernel math is float32 regardless of
-the storage dtype (bf16 networks keep f32 gate accumulation — slightly
-*better* conditioned than the flax bf16 path; parity tests run f32).
+unchanged `LSTMVAE` checkpoints. Precision: carries, gate activations and
+all accumulation are float32; the gate MATMULS take their operands in the
+storage dtype — with bf16 storage they hit the single-pass MXU path (f32
+operands lower to the ~3x slower multi-pass route), still f32-accumulated,
+the same numerics class as the bf16 flax network. Parity tests run f32
+storage, where the math is bit-identical to the previous all-f32 kernels.
 
 Sequence layout inside the kernels is time-leading ([T, bb, F]): Mosaic
 lowers a leading-axis ``pl.ds`` to a plain tile load, while dynamic
@@ -149,21 +152,23 @@ def _fwd_kernel(xg1_ref, h0_ref, wh1_ref, w2_ref, b2_ref, y_ref, h1_ref, c1_ref,
     T, BB, H4 = xg1_ref.shape
     H = H4 // 4
     f32 = jnp.float32
-    wh1 = wh1_ref[...].astype(f32)
-    w2 = w2_ref[...].astype(f32)
+    # weights keep their STORED dtype: with bf16 storage the gate matmuls
+    # take the single-pass MXU path (f32 operands lower to the ~3x slower
+    # multi-pass route); activations cast to match, accumulation stays f32
+    wh1 = wh1_ref[...]
+    w2 = w2_ref[...]
+    mm = lambda a, w: jnp.dot(a.astype(w.dtype), w, preferred_element_type=f32)
     b2 = b2_ref[...].astype(f32)  # [1, 4H]
     h0 = h0_ref[...].astype(f32)
 
     def step(t, carry):
         h1, c1, h2, c2 = carry
-        pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + jnp.dot(
-            h1, wh1, preferred_element_type=f32
-        )
+        pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + mm(h1, wh1)
         i1, f1, g1, o1 = _gate_act(pre1, H)
         c1n = f1 * c1 + i1 * g1
         h1n = o1 * jnp.tanh(c1n)
         in2 = jnp.concatenate([h1n, h2], axis=-1)
-        pre2 = jnp.dot(in2, w2, preferred_element_type=f32) + b2
+        pre2 = mm(in2, w2) + b2
         i2, f2, g2, o2 = _gate_act(pre2, H)
         c2n = f2 * c2 + i2 * g2
         h2n = o2 * jnp.tanh(c2n)
@@ -188,11 +193,13 @@ def _bwd_kernel(
     T, BB, H4 = xg1_ref.shape
     H = H4 // 4
     f32 = jnp.float32
-    wh1 = wh1_ref[...].astype(f32)
-    w2 = w2_ref[...].astype(f32)
+    # stored-dtype operands for every dot (see _fwd_kernel note); f32 accum
+    wh1 = wh1_ref[...]
+    w2 = w2_ref[...]
+    mm = lambda a, w: jnp.dot(a.astype(w.dtype), w, preferred_element_type=f32)
     b2 = b2_ref[...].astype(f32)
-    wh1t = wh1t_ref[...].astype(f32)  # [4H, H]
-    w2t = w2t_ref[...].astype(f32)  # [4H, 2H]
+    wh1t = wh1t_ref[...]  # [4H, H]
+    w2t = w2t_ref[...]  # [4H, 2H]
     h0 = h0_ref[...].astype(f32)
     zero = jnp.zeros_like(h0)
 
@@ -213,13 +220,9 @@ def _bwd_kernel(
         c2t = load(c2_ref, t)
 
         # --- recompute activations ---
-        pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + jnp.dot(
-            h1p, wh1, preferred_element_type=f32
-        )
+        pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + mm(h1p, wh1)
         i1, f1, g1, o1 = _gate_act(pre1, H)
-        pre2 = jnp.dot(
-            jnp.concatenate([h1t, h2p], -1), w2, preferred_element_type=f32
-        ) + b2
+        pre2 = mm(jnp.concatenate([h1t, h2p], -1), w2) + b2
         i2, f2, g2, o2 = _gate_act(pre2, H)
 
         # --- layer 2 backward ---
@@ -236,7 +239,7 @@ def _bwd_kernel(
             ],
             axis=-1,
         )
-        dxh = jnp.dot(dg2, w2t, preferred_element_type=f32)  # [BB, 2H]
+        dxh = mm(dg2, w2t)  # [BB, 2H]
 
         # --- layer 1 backward ---
         dh1 = dxh[:, :H] + dh1c
@@ -256,7 +259,7 @@ def _bwd_kernel(
         dg1_ref[pl.ds(t, 1)] = jnp.reshape(dg1.astype(dt), (1, BB, H4))
         dg2_ref[pl.ds(t, 1)] = jnp.reshape(dg2.astype(dt), (1, BB, H4))
         return (
-            jnp.dot(dg1, wh1t, preferred_element_type=f32),
+            mm(dg1, wh1t),
             dc1 * f1,
             dxh[:, H:],
             dc2 * f2,
