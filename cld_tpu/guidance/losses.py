@@ -336,14 +336,18 @@ def _to_world(x: jnp.ndarray, world_from_agent: jnp.ndarray) -> Tuple[jnp.ndarra
 class TargetSpeedLoss:
     """Follow a per-agent target speed profile (`guidance_loss.py:219-255`)."""
 
-    target_speed: Tuple[float, ...] | np.ndarray  # [B] or [B, T]
+    target_speed: Tuple[float, ...] | np.ndarray  # [B] or [B, T_fut]
     dt: float = 0.1
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
         tgt = jnp.asarray(self.target_speed, dtype=jnp.float32)
         if tgt.ndim == 1:
             tgt = tgt[:, None]
-        dev = jnp.abs(x[..., 2] - tgt[:, None, :])  # [B, N, T]
+        # a [B, T_fut] profile shorter than the plan horizon penalizes only
+        # the first T_fut steps (the reference slices `cur_speed[..., :valid_T]`,
+        # guidance_loss.py:245-248); [B] / [B, 1] targets broadcast over T
+        Tv = x.shape[2] if tgt.shape[1] == 1 else min(tgt.shape[1], x.shape[2])
+        dev = jnp.abs(x[..., :Tv, 2] - tgt[:, None, :Tv])  # [B, N, Tv]
         return jnp.mean(jnp.nan_to_num(dev), axis=-1)
 
 
@@ -358,6 +362,11 @@ class AgentCollisionLoss:
     buffer_dist: float = 0.2
     decay_rate: float = 0.9
     guide_moving_speed_th: float = 0.5
+    # collisions AMONG these agents are un-penalized — pairs where BOTH ends
+    # are excluded (`guidance_loss.py:586-593`); excluded-vs-included pairs
+    # still count. The reference uses this to let a gpt attack pair collide
+    # while everyone else still avoids them.
+    excluded_agents: Optional[Tuple[int, ...]] = None
     # Static scene-blocking hint: when the batch is laid out as contiguous
     # equal-size scenes of `scene_block` agents (the layout every cld_tpu
     # scene pack / bench produces), pairwise distances are computed
@@ -396,6 +405,11 @@ class AgentCollisionLoss:
 
         D = self.num_disks
         w = _decay_weights(T, self.decay_rate)
+        exc = None
+        if self.excluded_agents:
+            exc_np = np.zeros(B, bool)
+            exc_np[np.asarray(self.excluded_agents, int)] = True
+            exc = jnp.asarray(exc_np)
         A = self.scene_block
         if A is not None and 1 < A <= B and B % A == 0:
             S = B // A
@@ -403,6 +417,9 @@ class AgentCollisionLoss:
             rad = agt_rad.reshape(S, A)
             pen_d = rad[:, :, None] + rad[:, None, :] + self.buffer_dist  # [S, A, A]
             pair_valid = (si[:, :, None] == si[:, None, :]) & ~jnp.eye(A, dtype=bool)[None]
+            if exc is not None:
+                exc_b = exc.reshape(S, A)
+                pair_valid = pair_valid & ~(exc_b[:, :, None] & exc_b[:, None, :])
             K = _time_chunk(T, S * A * A * N * D * D)
             pad = (-T) % K
             cent_tw = jnp.pad(
@@ -435,6 +452,8 @@ class AgentCollisionLoss:
         penalty_dists = agt_rad[:, None] + agt_rad[None, :] + self.buffer_dist  # [B, B]
         same_scene = ctx.scene_index[:, None] == ctx.scene_index[None, :]
         pair_valid = same_scene & ~jnp.eye(B, dtype=bool)
+        if exc is not None:
+            pair_valid = pair_valid & ~(exc[:, None] & exc[None, :])
 
         # Chunked scan over the horizon instead of materializing the full
         # [N, T, B, B, D, D] pairwise tensor (O(B^2 D^2 T) HBM). A per-step
@@ -745,7 +764,7 @@ class GlobalTargetPosLoss:
 
     target_pos_world: np.ndarray  # [B, 2]
     urgency: np.ndarray | float = 0.5
-    pref_speed: float = 1.42
+    pref_speed: np.ndarray | float = 1.42  # scalar or per-agent [B]
     dt: float = 0.1
     min_progress_dist: float = 0.5
 
@@ -753,9 +772,10 @@ class GlobalTargetPosLoss:
         pos_w, _ = _to_world(x, ctx.world_from_agent)
         tgt = jnp.asarray(self.target_pos_world, jnp.float32)
         urgency = jnp.broadcast_to(jnp.asarray(self.urgency, jnp.float32), (x.shape[0],))
+        pref = jnp.broadcast_to(jnp.asarray(self.pref_speed, jnp.float32), (x.shape[0],))
         final_dist = jnp.linalg.norm(pos_w[:, :, -1] - tgt[:, None], axis=-1)
         init_dist = jnp.linalg.norm(pos_w[:, :, 0] - tgt[:, None], axis=-1)
-        max_horizon_dist = x.shape[2] * self.dt * self.pref_speed
+        max_horizon_dist = x.shape[2] * self.dt * pref
         goal_dist = jnp.maximum(urgency * max_horizon_dist, self.min_progress_dist)
         progress = init_dist - final_dist
         return jax.nn.relu(goal_dist[:, None] - progress)
@@ -784,7 +804,7 @@ class GlobalTargetPosAtTimeLoss:
     target_pos_world: np.ndarray  # [B, 2]
     target_time: np.ndarray  # [B] int global frame indices
     urgency: np.ndarray | float = 0.5
-    pref_speed: float = 1.42
+    pref_speed: np.ndarray | float = 1.42  # scalar or per-agent [B]
     dt: float = 0.1
     target_tolerance: Optional[float] = 2.0
 
@@ -810,7 +830,8 @@ class GlobalTargetPosAtTimeLoss:
         # guidance_loss.py:900-912): straight-path distance for the
         # remaining time, shortened by urgency
         final_dist = jnp.linalg.norm(x[:, :, -1, :2] - local_tgt[:, None], axis=-1)
-        goal_dist = local_tt.astype(jnp.float32) * self.dt * self.pref_speed
+        pref = jnp.broadcast_to(jnp.asarray(self.pref_speed, jnp.float32), (B,))
+        goal_dist = local_tt.astype(jnp.float32) * self.dt * pref
         goal_dist = goal_dist * (1.0 - urgency)
         prog_loss = jax.nn.relu(final_dist - goal_dist[:, None])
 

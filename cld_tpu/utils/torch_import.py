@@ -65,10 +65,6 @@ def submap(sd: StateDict, prefix: str) -> StateDict:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
-def _has(sd: StateDict, key: str) -> bool:
-    return f"{key}.weight" in sd or key in sd
-
-
 def _dense(sd: StateDict, key: str) -> Dict[str, Array]:
     w = _np(sd[f"{key}.weight"])
     out = {"kernel": jnp.asarray(w.T)}
@@ -384,8 +380,6 @@ def main(argv: Optional[list] = None):
     from cld_tpu.training.checkpoints import save_pytree
 
     save_pytree(args.out, variables)
-    import jax
-
     n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables))
     print(f"imported {args.kind} checkpoint -> {args.out} ({n} scalars)")
 

@@ -67,7 +67,15 @@ def build_guidance_specs(args, pack, sim_cfg, num_agents):
                    producer; file-watch is the headless equivalent)
     * none       — only explicit --guidance rules
     """
-    sources = [s for s in args.editing_source.split(",") if s and s != "none"]
+    known_sources = {"config", "heuristic", "ui", "none"}
+    sources = [s for s in args.editing_source.split(",") if s]
+    unknown = set(sources) - known_sources
+    if unknown:
+        raise SystemExit(
+            f"unknown --editing-source {sorted(unknown)}; "
+            f"expected a comma list of {sorted(known_sources)}"
+        )
+    sources = [s for s in sources if s != "none"]
     specs = list(specs_from_configs(parse_guidance_arg(args.guidance), num_agents))
     if "heuristic" in sources:
         from cld_tpu.guidance.heuristics import (
@@ -82,10 +90,15 @@ def build_guidance_specs(args, pack, sim_cfg, num_agents):
             import json as _json
 
             with open(args.heuristics[1:]) as f:
-                specs.extend(heuristics_from_configs(_json.load(f), pack, state0))
+                specs.extend(
+                    heuristics_from_configs(_json.load(f), pack, state0,
+                                            dt=sim_cfg.dt)
+                )
         else:
             names = [n for n in args.heuristics.split(",") if n]
-            specs.extend(compute_heuristic_guidance(names, pack, state0))
+            specs.extend(
+                compute_heuristic_guidance(names, pack, state0, dt=sim_cfg.dt)
+            )
         if args.attack_pair:
             a, v = (int(s) for s in args.attack_pair.split(","))
             specs.append(heuristic_collision_attack(a, v))

@@ -84,6 +84,41 @@ def test_agent_collision_loss_detects_overlap():
     np.testing.assert_allclose(np.asarray(loss_scenes), 0.0, atol=1e-6)
 
 
+def test_agent_collision_excluded_agents_pairs_only():
+    """Reference excluded_agents semantics (`guidance_loss.py:586-593`):
+    only pairs with BOTH ends excluded are un-penalized; excluded-vs-
+    included collisions still count, so a singleton set is a no-op."""
+    ctx = make_ctx(B=3)
+    x = straight_traj(B=3, N=1, speed=5.0)  # all three on top of each other
+    base = np.asarray(AgentCollisionLoss()(x, ctx))
+    assert base.min() > 0
+    one = np.asarray(AgentCollisionLoss(excluded_agents=(1,))(x, ctx))
+    np.testing.assert_allclose(one, base, atol=1e-6)
+    two = np.asarray(AgentCollisionLoss(excluded_agents=(0, 1))(x, ctx))
+    # the 0-1 collision is forgiven, but 0 and 1 still collide with 2
+    assert (two[:2] < base[:2]).all() and two[:2].min() > 0
+    np.testing.assert_allclose(two[2], base[2], atol=1e-6)
+    # block-diagonal path agrees with the flat path
+    blk = np.asarray(
+        AgentCollisionLoss(excluded_agents=(0, 1), scene_block=3)(x, ctx)
+    )
+    np.testing.assert_allclose(blk, two, atol=1e-5)
+
+
+def test_target_speed_profile_shorter_than_horizon():
+    """[B, T_fut] per-timestep target profiles penalize only the first
+    T_fut plan steps (`guidance_loss.py:245-248` slices cur_speed[:valid_T])."""
+    ctx = make_ctx()
+    x = straight_traj(speed=5.0)
+    prof = np.full((3, 20), 8.0, np.float32)
+    loss = TargetSpeedLoss(target_speed=prof)(x, ctx)
+    np.testing.assert_allclose(np.asarray(loss), 3.0, atol=1e-5)
+    # profile longer than the horizon: extra columns are ignored
+    prof_long = np.full((3, 80), 8.0, np.float32)
+    loss_long = TargetSpeedLoss(target_speed=prof_long)(x, ctx)
+    np.testing.assert_allclose(np.asarray(loss_long), 3.0, atol=1e-5)
+
+
 def test_agent_collision_gradient_separates():
     ctx = make_ctx(B=2)
     # slightly offset lanes, still within collision distance (not exactly

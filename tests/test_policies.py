@@ -190,6 +190,33 @@ def _pack_and_state(num_scenes=1, agents=4):
     return pack, init_sim_state(pack, cfg)
 
 
+def test_heuristic_speed_limit_stopped_scene_falls_back():
+    """All-stopped scene: the quantile is undefined and the reference sets
+    speed_limit = low_speed_th (`scene_edit_utils.py:538-540`) — not the
+    15 m/s constructor default."""
+    from cld_tpu.guidance.heuristics import heuristic_speed_limit
+
+    pack, state = _pack_and_state()
+    spec = heuristic_speed_limit(pack, state, speed_limit_quantile=0.9,
+                                 low_speed_th=1000.0, fut_sec=1.0)
+    assert spec.loss.speed_limit == 1000.0
+
+
+def test_heuristic_dt_scales_future_windows():
+    """fut_sec -> frames uses the sim dt (eupeds-style 0.4 s steps), not a
+    hardcoded 10 Hz: 2 s of future is 5 frames at dt=0.4, 20 at dt=0.1."""
+    from cld_tpu.guidance.heuristics import heuristic_target_speed
+
+    pack, state = _pack_and_state()
+    s04 = heuristic_target_speed(pack, state, target_speed_multiplier=1.0,
+                                 fut_sec=2.0, dt=0.4)
+    assert np.asarray(s04.loss.target_speed).shape == (pack.num_agents, 5)
+    assert s04.loss.dt == 0.4
+    s01 = heuristic_target_speed(pack, state, target_speed_multiplier=1.0,
+                                 fut_sec=2.0, dt=0.1)
+    assert np.asarray(s01.loss.target_speed).shape == (pack.num_agents, 20)
+
+
 def test_heuristic_target_pos_builder():
     """Plain target_pos (`scene_edit_utils.py:386-394`): same GT waypoint as
     the timed variant, bound to the untimed TargetPosLoss."""
@@ -269,8 +296,11 @@ def test_heuristics_from_reference_configs():
     ac = by_type["AgentCollisionLoss"]
     assert isinstance(ac.loss, AgentCollisionLoss)
     assert ac.loss.num_disks == 4 and ac.loss.decay_rate == 0.8
-    # excluded_agents -> static agent mask
-    assert ac.agent_mask == (True, False, True, True)
+    # excluded_agents rides on the LOSS (reference guidance_loss.py:447-464):
+    # only pairs with BOTH ends excluded are un-penalized — NOT an agent mask
+    # (which would kill ALL collision guidance for the excluded agent)
+    assert ac.loss.excluded_agents == (1,)
+    assert ac.agent_mask is None
     mc = by_type["MapCollisionLoss"]
     assert isinstance(mc.loss, MapCollisionLoss)
     assert mc.loss.num_points_lw == (6, 6)
@@ -287,7 +317,9 @@ def test_heuristics_from_reference_configs():
     assert np.isfinite(sl.loss.speed_limit)
     tsp = by_type["TargetSpeedLoss"]
     assert isinstance(tsp.loss, TargetSpeedLoss)
-    assert np.asarray(tsp.loss.target_speed).shape == (pack.num_agents,)
+    # reference target_speed is the PER-TIMESTEP GT profile [N, T_fut]
+    # (scene_edit_utils.py:571: speed * multiplier), fut_sec=2.0 at dt=0.1
+    assert np.asarray(tsp.loss.target_speed).shape == (pack.num_agents, 20)
 
 
 def test_gpt_pair_heuristics():
