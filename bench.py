@@ -269,8 +269,16 @@ def flagship_guidance_specs(scene_block=None):
             10.0,
         ),
         # defaults resolve to the fastest measured TPU config: the rigid
-        # pose-invariant distance cache + the pallas drivable-map gather
-        GuidanceSpec(MapCollisionLoss(num_points_lw=(10, 10)), 10.0),
+        # pose-invariant distance cache + the pallas drivable-map gather.
+        # BENCH_MAP_MIN_FWD: auto|fused|eqmin A/B knob for the masked-min
+        # forward schedule (losses.py:MapCollisionLoss.min_fwd_impl)
+        GuidanceSpec(
+            MapCollisionLoss(
+                num_points_lw=(10, 10),
+                min_fwd_impl=os.environ.get("BENCH_MAP_MIN_FWD", "auto"),
+            ),
+            10.0,
+        ),
     ]
 
 

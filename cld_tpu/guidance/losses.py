@@ -162,6 +162,46 @@ def _min_dist_rigid_bwd(res, g):
 _min_dist_rigid.defvjp(_min_dist_rigid_fwd, _min_dist_rigid_bwd)
 
 
+@jax.custom_vjp
+def _min_dist_rigid_eqmin(pts, d2_local, onroad):
+    """Argmin-free forward of the rigid masked min (min_fwd_impl="eqmin").
+
+    `jnp.argmin` lowers to a VARIADIC reduce on TPU (value+index carried
+    together), which vectorizes worse than a plain min. This twin keeps the
+    forward to ONE plain min reduce and defers index recovery to the
+    backward: rows matching the stored min are found by exact float
+    equality (the recomputed masked d2 repeats the forward's ops bitwise),
+    and the lowest tied row index — `jnp.argmin`'s tie rule, hence the
+    reference's (`torch.min`, guidance_loss.py:826-850) — is selected with
+    an index-min. Numerics (values AND gradients) are identical to
+    `_min_dist_rigid`; only the op schedule differs. A/B knob for TPU
+    measurement."""
+    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
+    return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12)
+
+
+def _min_dist_rigid_eqmin_fwd(pts, d2_local, onroad):
+    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
+    m2 = jnp.min(d2, axis=-2)
+    return jnp.sqrt(m2 + 1e-12), (pts, d2_local, onroad, m2)
+
+
+def _min_dist_rigid_eqmin_bwd(res, g):
+    pts, d2_local, onroad, m2 = res
+    P = pts.shape[-2]
+    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
+    rows = jnp.arange(P, dtype=jnp.int32)[:, None]
+    idx = jnp.min(
+        jnp.where(d2 == m2[..., None, :], rows, P), axis=-2
+    )  # [..., P] lowest tied row == argmin
+    dist = jnp.sqrt(m2 + 1e-12)
+    grad, _, _ = _min_dist_rigid_bwd((pts, idx, dist), g)
+    return grad, None, None
+
+
+_min_dist_rigid_eqmin.defvjp(_min_dist_rigid_eqmin_fwd, _min_dist_rigid_eqmin_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _min_dist_rigid_fused(pts, d2_local, onroad, interpret=False):
     """Optional pallas forward of the rigid masked min (min_fwd_impl=
@@ -515,9 +555,12 @@ class MapCollisionLoss:
     # forward of the full-horizon "rigid" masked min: "jnp" (XLA fuses the
     # [B, Q, P, P] broadcast into the min/argmin reduces — measured fastest
     # on v5e, 0.90 vs 1.16 ms/step for the pallas kernel at bench scale,
-    # scripts/micro_map_combos.py) or "fused" (1-D-grid pallas kernel that
+    # scripts/micro_map_combos.py), "fused" (1-D-grid pallas kernel that
     # sweeps the horizon in-kernel; loses to XLA's fusion because the
-    # per-program sweep is sequential). "auto" = "jnp".
+    # per-program sweep is sequential), or "eqmin" (plain-min forward, no
+    # variadic argmin reduce — the index is recovered in the backward by
+    # exact-equality + index-min; bitwise-identical values and grads).
+    # "auto" = "jnp".
     min_fwd_impl: str = "auto"
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
@@ -674,6 +717,13 @@ class MapCollisionLoss:
                         agt_pts.reshape(B, N * T, P, 2), d2_local,
                         (~offroad).reshape(B, N * T, P),
                         jax.default_backend() != "tpu",
+                    ).reshape(B, N, T, P)
+                elif self.min_fwd_impl == "eqmin":
+                    # argmin-free forward (plain min only; index recovered
+                    # in the backward by equality + index-min)
+                    min_dist = _min_dist_rigid_eqmin(
+                        agt_pts.reshape(B, N * T, P, 2), d2_local[:, None],
+                        (~offroad).reshape(B, N * T, P),
                     ).reshape(B, N, T, P)
                 else:
                     min_dist = _min_dist_rigid(

@@ -249,3 +249,60 @@ def test_map_collision_fused_and_bit_gather_match_pairwise():
     g1 = jax.grad(lambda v: ref(v, ctx).sum())(x)
     g2 = jax.grad(lambda v: fast(v, ctx).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-5)
+
+
+def test_map_collision_eqmin_matches_rigid_exactly():
+    """min_fwd_impl='eqmin' (argmin-free forward, equality-recovered index
+    in the backward) is BITWISE-identical to the default rigid path in
+    values and gradients — including on the regular bbox grid, where exact
+    distance ties between symmetric points exercise the lowest-tied-index
+    rule."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cld_tpu.data.synthetic import synthetic_batch
+    from cld_tpu.guidance.losses import GuidanceContext, MapCollisionLoss
+    from cld_tpu.ops.geometry import world_from_agent_matrix
+
+    B = 3
+    batch = synthetic_batch(seed=0, batch_size=B, raster_size=64)
+    ctx = GuidanceContext(
+        drivable_map=batch.drivable_map, raster_from_agent=batch.raster_from_agent,
+        extent=batch.extent, curr_speed=batch.curr_speed,
+        world_from_agent=world_from_agent_matrix(jnp.zeros((B, 2)), jnp.zeros((B,))),
+        scene_index=jnp.zeros((B,), jnp.int32))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 8.0, (B, 2, 52, 6)), jnp.float32)
+    x = x.at[..., 3].set(jnp.asarray(rng.uniform(-3, 3, (B, 2, 52)), jnp.float32))
+    ref = MapCollisionLoss(min_dist_impl="rigid")
+    eq = MapCollisionLoss(min_dist_impl="rigid", min_fwd_impl="eqmin")
+    np.testing.assert_array_equal(np.asarray(ref(x, ctx)), np.asarray(eq(x, ctx)))
+    g1 = jax.grad(lambda v: ref(v, ctx).sum())(x)
+    g2 = jax.grad(lambda v: eq(v, ctx).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_min_dist_rigid_eqmin_unit_ties():
+    """Unit-level: a hand-built tie (two onroad rows exactly equidistant
+    from a column) routes the gradient to the LOWEST row index, matching
+    jnp.argmin / the reference torch.min tie rule."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cld_tpu.guidance.losses import _min_dist_rigid, _min_dist_rigid_eqmin
+
+    # P=3 points on a line: rows 0 and 2 are both distance 1 from column 1
+    pts = jnp.asarray([[[[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]]])  # [1,1,3,2]
+    d2 = jnp.sum((pts[:, 0, :, None] - pts[:, 0, None, :]) ** 2, -1)[:, None]
+    onroad = jnp.asarray([[[True, False, True]]])  # column 1 is offroad
+
+    def loss(fn, p):
+        return fn(p, d2, onroad).sum()
+
+    v_ref = _min_dist_rigid(pts, d2, onroad)
+    v_eq = _min_dist_rigid_eqmin(pts, d2, onroad)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_eq))
+    g_ref = jax.grad(lambda p: loss(_min_dist_rigid, p))(pts)
+    g_eq = jax.grad(lambda p: loss(_min_dist_rigid_eqmin, p))(pts)
+    assert np.abs(np.asarray(g_ref)).sum() > 0
+    np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_eq))
