@@ -428,10 +428,12 @@ def _select_interacting_pair(pack, state, angle_diff_max_th: float,
     now, find pairs whose headings roughly agree and whose separation sits
     in [dist_min, dist_max] both now and ~2s into the GT future; return
     (behind_agent, ahead_agent) of the best pair, or None."""
-    # the reference evaluates the pair filters at GT frame 20 (2 s at the
-    # nuScenes 0.1 s step, `scene_edit_utils.py:631-633` `yaw_diff[:,:,20]`)
-    frames = min(int(round(2.0 / dt)) + 1, pack.replay_actions.shape[1])
-    fut = _replay_future_states(pack, state, max(frames, 2), dt=dt)
+    # the reference evaluates the pair filters at GT frame t0+20 (2 s at
+    # the nuScenes 0.1 s step, `scene_edit_utils.py:631-633`
+    # `yaw_diff[:,:,20]`, index 0 = current frame). fut[:, k] is the state
+    # AFTER k+1 steps, so the 2 s frame is k = round(2/dt) - 1.
+    frames = min(int(round(2.0 / dt)), pack.replay_actions.shape[1])
+    fut = _replay_future_states(pack, state, max(frames, 1), dt=dt)
     s = np.asarray(state.states)
     pos0, yaw0, speed0 = s[:, :2], s[:, 3], np.abs(s[:, 2])
     k = frames - 1

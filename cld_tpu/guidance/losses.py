@@ -376,19 +376,30 @@ def _to_world(x: jnp.ndarray, world_from_agent: jnp.ndarray) -> Tuple[jnp.ndarra
 class TargetSpeedLoss:
     """Follow a per-agent target speed profile (`guidance_loss.py:219-255`)."""
 
-    target_speed: Tuple[float, ...] | np.ndarray  # [B] or [B, T_fut]
+    # [B]: one time-invariant target per agent (broadcast over the plan).
+    # [B, T_fut]: a per-GLOBAL-frame profile — the plan window is cut out at
+    # ctx.global_t exactly like the reference's
+    # `target_speed[..., global_t:global_t+T]` (guidance_loss.py:231-248),
+    # frames beyond the profile are masked, and the mean runs over the
+    # valid slice length (0 valid frames -> 0 loss, the reference's dummy).
+    target_speed: Tuple[float, ...] | np.ndarray
     dt: float = 0.1
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
         tgt = jnp.asarray(self.target_speed, dtype=jnp.float32)
+        T = x.shape[2]
         if tgt.ndim == 1:
-            tgt = tgt[:, None]
-        # a [B, T_fut] profile shorter than the plan horizon penalizes only
-        # the first T_fut steps (the reference slices `cur_speed[..., :valid_T]`,
-        # guidance_loss.py:245-248); [B] / [B, 1] targets broadcast over T
-        Tv = x.shape[2] if tgt.shape[1] == 1 else min(tgt.shape[1], x.shape[2])
-        dev = jnp.abs(x[..., :Tv, 2] - tgt[:, None, :Tv])  # [B, N, Tv]
-        return jnp.mean(jnp.nan_to_num(dev), axis=-1)
+            dev = jnp.abs(x[..., 2] - tgt[:, None, None])  # [B, N, T]
+            return jnp.mean(jnp.nan_to_num(dev), axis=-1)
+        T_fut = tgt.shape[1]
+        gt = ctx.global_t if ctx.global_t is not None else jnp.zeros((), jnp.int32)
+        idx = gt + jnp.arange(T)  # global frames the plan covers
+        valid = idx < T_fut  # [T]
+        prof = tgt[:, jnp.clip(idx, 0, T_fut - 1)]  # [B, T]
+        dev = jnp.nan_to_num(jnp.abs(x[..., 2] - prof[:, None, :]))
+        dev = dev * valid.astype(dev.dtype)[None, None, :]
+        cnt = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        return jnp.sum(dev, axis=-1) / cnt
 
 
 @dataclasses.dataclass(frozen=True)
@@ -564,6 +575,11 @@ class MapCollisionLoss:
     min_fwd_impl: str = "auto"
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
+        if self.min_fwd_impl not in ("auto", "jnp", "fused", "eqmin"):
+            raise ValueError(
+                f"unknown min_fwd_impl {self.min_fwd_impl!r} "
+                "(expected auto|jnp|fused|eqmin)"
+            )
         B, N, T, _ = x.shape
         P = self.num_points_lw[0] * self.num_points_lw[1]
         lwise = np.linspace(-0.5, 0.5, self.num_points_lw[0])
@@ -738,6 +754,15 @@ class MapCollisionLoss:
                 moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
                 return jnp.where(moving[:, None], loss, 0.0)
 
+            if self.min_fwd_impl not in ("auto", "jnp"):
+                # the A/B forward schedules only exist on the full-horizon
+                # path; silently falling back would corrupt a measurement
+                raise ValueError(
+                    f"min_fwd_impl={self.min_fwd_impl!r} requires the "
+                    f"full-horizon path (T*B*N*P*P={T * B * N * P * P} > "
+                    f"CLD_GUIDE_FULL_ELEMS={_FULL_HORIZON_BUDGET}); raise the "
+                    "budget or use the default forward"
+                )
             d2_local = jnp.sum(
                 (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
             ).reshape(1, B, 1, P, P)

@@ -242,7 +242,13 @@ def export_vae_checkpoint(variables: Dict[str, Any], prefix: str = "vae") -> Sta
     """Our `VaeModel` variables ``{"params", "batch_stats"}`` -> a
     Lightning-style ``vae.``-prefixed state dict the reference's VAE trainer
     restore path accepts (`vae_trainer.py:17`, `trainer_utils.py:30-43`)."""
-    params, stats = variables["params"], variables.get("batch_stats", {})
+    if "batch_stats" not in variables:
+        raise ValueError(
+            "vae export requires batch_stats (the context encoder's "
+            "BatchNorm running stats); got a params-only tree — was this "
+            "orbax dir written for a different --kind?"
+        )
+    params, stats = variables["params"], variables["batch_stats"]
     out: StateDict = {}
     out.update(
         export_context_encoder(params["context_encoder"],

@@ -119,6 +119,33 @@ def test_target_speed_profile_shorter_than_horizon():
     np.testing.assert_allclose(np.asarray(loss_long), 3.0, atol=1e-5)
 
 
+def test_target_speed_profile_advances_with_global_t():
+    """A [B, T_fut] profile is a per-GLOBAL-frame schedule: the loss cuts
+    out the window at ctx.global_t (`guidance_loss.py:231`
+    `target_speed[..., global_t:global_t+T]`), so later replans compare
+    the plan against LATER profile frames, and a fully elapsed profile
+    contributes zero."""
+    B, T = 3, 52
+    ctx0 = make_ctx(B=B)
+    x = straight_traj(B=B, N=2, T=T, speed=0.0)
+    # profile = global frame index, distinct per frame
+    prof = np.tile(np.arange(100, dtype=np.float32), (B, 1))
+    loss0 = TargetSpeedLoss(target_speed=prof)(x, ctx0)
+    # at gt=0: mean over frames 0..51 of |0 - t| = mean(0..51) = 25.5
+    np.testing.assert_allclose(np.asarray(loss0), 25.5, atol=1e-4)
+    ctx10 = ctx0._replace(global_t=jnp.asarray(10, jnp.int32))
+    loss10 = TargetSpeedLoss(target_speed=prof)(x, ctx10)
+    np.testing.assert_allclose(np.asarray(loss10), 35.5, atol=1e-4)
+    # window partially past the profile end: mean over the 100-60=40 valid
+    ctx60 = ctx0._replace(global_t=jnp.asarray(60, jnp.int32))
+    loss60 = TargetSpeedLoss(target_speed=prof)(x, ctx60)
+    np.testing.assert_allclose(np.asarray(loss60), np.arange(60, 100).mean(), atol=1e-4)
+    # fully elapsed -> zero (the reference's dummy-loss branch)
+    ctx200 = ctx0._replace(global_t=jnp.asarray(200, jnp.int32))
+    loss200 = TargetSpeedLoss(target_speed=prof)(x, ctx200)
+    np.testing.assert_allclose(np.asarray(loss200), 0.0, atol=1e-6)
+
+
 def test_agent_collision_gradient_separates():
     ctx = make_ctx(B=2)
     # slightly offset lanes, still within collision distance (not exactly
