@@ -175,15 +175,18 @@ def offroad_series(pack: ScenePack, traj: jnp.ndarray, cfg: SimConfig):
 
 
 def collision_series(pack: ScenePack, traj: jnp.ndarray, cfg: SimConfig):
-    """1.0 on frames where the agent overlaps another (disk test, same
-    threshold as the sim scan)."""
+    """1.0 on frames where the agent's oriented box overlaps another's
+    (exact SAT test, same geometry as the sim scan —
+    ops/geometry.py:obb_collision_matrix)."""
+    from cld_tpu.ops.geometry import obb_collision_matrix
+
     pos = traj[..., :2]  # [T, Na, 2]
-    dist = jnp.linalg.norm(pos[:, :, None] - pos[:, None, :], axis=-1)
     Na = pack.num_agents
     same_scene = pack.scene_index[:, None] == pack.scene_index[None, :]
     valid_pair = same_scene & ~jnp.eye(Na, dtype=bool)
-    lengths = (pack.extent[:, None, 0] + pack.extent[None, :, 0]) / 2.0
-    hit = (dist < lengths[None] * cfg.collision_thresh) & valid_pair[None]
+    hit = obb_collision_matrix(
+        pos, traj[..., 3], pack.extent[:, :2], extent_scale=cfg.collision_thresh
+    ) & valid_pair[None]
     return jnp.any(hit, axis=-1).astype(jnp.float32)
 
 

@@ -25,9 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from cld_tpu.data.batch import TrafficBatch
-from cld_tpu.ops.dynamics import UnicycleParams, unicycle_step
+from cld_tpu.ops.dynamics import UnicycleParams, unicycle_step, unicycle_ubound
 from cld_tpu.ops.geometry import (
     agent_from_world_matrix,
+    obb_collision_matrix,
     raster_from_agent_matrix,
     transform_points,
     world_from_agent_matrix,
@@ -45,17 +46,27 @@ class SimConfig:
     pixel_size: float = 0.5
     ego_center: Tuple[float, float] = (-0.5, 0.0)
     dt: float = 0.1
-    # scale on the summed vehicle half-lengths for the center-distance
-    # collision test — the disk approximation of DiskCollisionRate
-    # (env_metrics.py:489), NOT the PPO reward's absolute 0.8 m threshold
-    # (that one lives in algos/reward.py)
-    collision_thresh: float = 0.8
+    # planning horizon the observation's GT-future (target_*) channels
+    # cover — must match the policy's algo.horizon (config of record: 52)
+    plan_horizon: int = 52
+    # extent scale on the exact oriented-box overlap test
+    # (ops/geometry.py:obb_collision_matrix — the vectorized equivalent of
+    # the reference's shapely `detect_collision`, geometry_utils.py:339-400).
+    # 1.0 = geometric intersection parity; >1 adds a safety margin. NOT the
+    # PPO reward's absolute 0.8 m disk threshold (algos/reward.py).
+    collision_thresh: float = 1.0
     dyn: UnicycleParams = UnicycleParams(
         max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
     )
 
     @property
     def num_replans(self) -> int:
+        if self.num_simulation_steps % self.n_step_action:
+            raise ValueError(
+                f"num_simulation_steps={self.num_simulation_steps} must be a "
+                f"multiple of n_step_action={self.n_step_action} — a floor "
+                "division would silently simulate fewer frames than asked"
+            )
         return self.num_simulation_steps // self.n_step_action
 
 
@@ -167,7 +178,7 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
     # carries the scene's remaining GT trajectory (`env_trajdata.py:314-369`
     # via parse_trajdata_batch target_*); consumed by guide_with_gt sample
     # selection and eval metrics
-    T_plan = 52
+    T_plan = cfg.plan_horizon
     if pack.gt_states is not None:
         gt_pad = jnp.pad(pack.gt_states, ((0, 0), (0, T_plan), (0, 0)))
         av_pad = jnp.pad(
@@ -217,8 +228,8 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         target_yaws=tgt_yaw,
         target_availabilities=tgt_av,
         extent=pack.extent,
-        all_other_agents_future_positions=jnp.zeros((Na, 1, 52, 2)),
-        all_other_agents_future_availability=jnp.zeros((Na, 1, 52)),
+        all_other_agents_future_positions=jnp.zeros((Na, 1, T_plan, 2)),
+        all_other_agents_future_availability=jnp.zeros((Na, 1, T_plan)),
         all_other_agents_history_positions=neigh_hist,
         all_other_agents_history_yaws=neigh_yaw[..., None],
         all_other_agents_history_availability=neigh_avail,
@@ -238,10 +249,11 @@ PolicyFn = Callable[[TrafficBatch, jax.Array], jnp.ndarray]
 
 def _consume_actions(
     pack: ScenePack, state: SimState, actions: jnp.ndarray, cfg: SimConfig
-) -> SimState:
+) -> Tuple[SimState, jnp.ndarray]:
     """Advance n_step_action frames (`EnvUnifiedSimulation._step`,
     `env_trajdata.py:400-478`), with per-frame metric accumulation
-    (`_add_per_step_metrics`, `:371-398`)."""
+    (`_add_per_step_metrics`, `:371-398`). Returns the advanced state and
+    the per-frame world-state log [n_step_action, Na, 4]."""
 
     def frame(carry, k):
         st = carry
@@ -253,7 +265,11 @@ def _consume_actions(
         # invalid-action guard (`env_trajdata.py:463-468`): NaN controls
         # freeze the agent instead of corrupting the world state
         u = jnp.where(jnp.isfinite(u), u, 0.0)
-        new_states = unicycle_step(cfg.dyn, st.states, u, cfg.dt, bound=True)
+        # clip to the dynamics bounds HERE so the comfort accumulators see
+        # the control the simulator actually executes, not the raw command
+        lb, ub = unicycle_ubound(cfg.dyn, st.states)
+        u = jnp.clip(u, jax.lax.stop_gradient(lb), jax.lax.stop_gradient(ub))
+        new_states = unicycle_step(cfg.dyn, st.states, u, cfg.dt, bound=False)
 
         # metrics
         drivable = drivable_at_world(pack, new_states[:, :2])
@@ -262,8 +278,13 @@ def _consume_actions(
         dist = jnp.linalg.norm(pos[:, None] - pos[None], axis=-1)
         same_scene = pack.scene_index[:, None] == pack.scene_index[None, :]
         valid_pair = same_scene & ~jnp.eye(pack.num_agents, dtype=bool)
-        lengths = (pack.extent[:, None, 0] + pack.extent[None, :, 0]) / 2.0
-        coll_pair = (dist < lengths * cfg.collision_thresh) & valid_pair
+        # exact oriented-box overlap (the reference's shapely intersection,
+        # vectorized via SAT) — a center-distance disk test over-reports
+        # SIDE collisions for parallel adjacent-lane traffic
+        coll_pair = obb_collision_matrix(
+            pos, new_states[:, 3], pack.extent[:, :2],
+            extent_scale=cfg.collision_thresh,
+        ) & valid_pair
         colliding = jnp.any(coll_pair, axis=-1)
 
         # CollisionType classification (`geometry_utils.py:331-400` via

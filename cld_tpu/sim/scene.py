@@ -49,17 +49,21 @@ class ScenePack(NamedTuple):
 
 
 def _roll_gt_states(
-    init_states: np.ndarray, replay_actions: np.ndarray, dt: float = 0.1
+    init_states: np.ndarray, replay_actions: np.ndarray, dt: float = 0.1,
+    dyn=None,
 ) -> np.ndarray:
     """Integrate the replay actions through the bounded unicycle to get the
-    dataset future in world frame: [Na, T_sim+1, 4], frame 0 = init. Uses
-    the simulator's action bounds (SimConfig.dyn) so replayed agents' GT
-    matches what the sim will execute for them."""
+    dataset future in world frame: [Na, T_sim+1, 4], frame 0 = init. `dyn`
+    must carry the SAME action bounds the simulator will step with
+    (SimConfig.dyn) so replayed agents' GT matches what the sim executes
+    for them; the default mirrors SimConfig's default."""
     from cld_tpu.ops.dynamics import UnicycleParams, unicycle_step
 
-    dyn = UnicycleParams(
-        max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0, acce_hi=8.0
-    )
+    if dyn is None:
+        dyn = UnicycleParams(
+            max_steer=0.5, max_yawvel=6.283185307179586, acce_lo=-10.0,
+            acce_hi=8.0,
+        )
     x = jnp.asarray(init_states)
     u = jnp.asarray(replay_actions)
 
@@ -82,6 +86,7 @@ def synthetic_scene_pack(
     num_sem_layers: int = 3,
     sim_steps: int = 100,
     road_half_width: float = 7.0,
+    dyn=None,
 ) -> ScenePack:
     """Straight-road world: drivable band along x centered at y=0, agents
     spawned in lanes driving +x. The closed-loop test artefact (the l5kit
@@ -138,7 +143,7 @@ def synthetic_scene_pack(
         extent=jnp.asarray(extent),
         lane_points=jnp.asarray(np.broadcast_to(lane_pts, (Ns,) + lane_pts.shape).copy()),
         lane_avail=jnp.asarray(np.broadcast_to(lane_avail, (Ns,) + lane_avail.shape).copy()),
-        gt_states=jnp.asarray(_roll_gt_states(init_states, replay_actions)),
+        gt_states=jnp.asarray(_roll_gt_states(init_states, replay_actions, dyn=dyn)),
         gt_avail=jnp.ones((Na, sim_steps + 1), bool),
     )
 
@@ -215,6 +220,7 @@ def scene_pack_from_batches(
     num_hist_channels: Optional[int] = None,
     dt: float = 0.1,
     seed: int = 0,
+    dyn=None,
 ) -> ScenePack:
     """Build a simulatable world from a TrafficBatch of converted scenes —
     the on-device equivalent of `EnvUnifiedSimulation.reset`
@@ -317,7 +323,7 @@ def scene_pack_from_batches(
         extent=jnp.asarray(batch.extent),
         lane_points=jnp.asarray(lane_pts),
         lane_avail=jnp.asarray(lane_avail),
-        gt_states=jnp.asarray(_roll_gt_states(init_states, replay)),
+        gt_states=jnp.asarray(_roll_gt_states(init_states, replay, dt=dt, dyn=dyn)),
         # GT is only valid while dataset future actions exist; past the GT
         # horizon the zero-padded replay coasts and is marked unavailable
         gt_avail=jnp.asarray(

@@ -77,6 +77,14 @@ def buffer_add(
     """Batch insert + EMA baseline update (`criticmodel.py:155-177`)."""
     n = x0.shape[0]
     capacity = buf.x0.shape[0]
+    if n > capacity:
+        # wrapped duplicate scatter indices have UNSPECIFIED write order in
+        # XLA — half the batch would be dropped nondeterministically and
+        # (x0, x1, log_p, reward) rows could even mix across the two writes
+        raise ValueError(
+            f"batch of {n} transitions exceeds buffer capacity {capacity}; "
+            "raise algo.buffer_max or shrink batch*num_samp"
+        )
     idx = (buf.ptr + jnp.arange(n)) % capacity
     mean_r = reward.mean()
     baseline = jnp.where(
@@ -115,8 +123,20 @@ class PPOTrainer:
         # NOT donated — callers legitimately keep old states (eval, EMA
         # comparisons), and donation would invalidate them.
         self.collect_step = jax.jit(self._collect_step, donate_argnums=(1,))
-        self.ppo_update = jax.jit(self._ppo_update)
+        self._ppo_update_jit = jax.jit(self._ppo_update)
         self.test_step = jax.jit(self._test_step)
+
+    def ppo_update(self, dm_state, buf, rng):
+        """Guarded entry: an empty buffer would sample all-zero transitions
+        whose t=0 log-prob (sigma clipped to 1e-10) yields astronomically
+        scaled garbage gradients for 3000 iterations — fail loudly instead.
+        One host sync of a scalar per update phase; the phase itself is
+        seconds long."""
+        if int(buf.size) == 0:
+            raise ValueError(
+                "ppo_update on an empty replay buffer — run collect_step first"
+            )
+        return self._ppo_update_jit(dm_state, buf, rng)
 
     # -- experience collection (`guide_dm_trainer.py:84-118`) -----------
     def decode_samples(self, x0: jnp.ndarray, aux_info, batch_size: int,
