@@ -173,17 +173,21 @@ def choose_closest_to_gt(
     """guide_with_gt selection: pick the sample whose positions are closest
     to the observation's GT future (`choose_action_from_gt`,
     `guidance_loss.py:67-100`; wired via the composer's guide_with_gt,
-    `dm_composer.py:6-34`). Availability-masked mean squared position error;
-    agents with no valid GT keep sample 0 (the reference's fallback).
+    `dm_composer.py:6-34`). Availability-masked mean Euclidean position
+    error (ADE); agents with no valid GT keep sample 0 (the reference's
+    fallback).
 
     samples [B, N, ...], positions [B, N, T, 2], gt_positions [B, T, 2],
     gt_avail [B, T] -> ([B, ...], [B] indices).
     """
     av = gt_avail.astype(positions.dtype)
-    err = jnp.sum((positions - gt_positions[:, None]) ** 2, axis=-1)  # [B, N, T]
+    # per-step EUCLIDEAN error -> masked mean = the reference's ADE
+    # (torch.norm + nanmean, guidance_loss.py:90-92) — mean SQUARED error
+    # ranks unevenly-distributed errors differently and picks other samples
+    err = jnp.linalg.norm(positions - gt_positions[:, None], axis=-1)  # [B, N, T]
     denom = jnp.maximum(jnp.sum(av, axis=-1), 1.0)
-    mse = jnp.sum(err * av[:, None], axis=-1) / denom[:, None]  # [B, N]
-    idx = jnp.where(jnp.sum(av, axis=-1) > 0, jnp.argmin(mse, axis=-1), 0)
+    ade = jnp.sum(err * av[:, None], axis=-1) / denom[:, None]  # [B, N]
+    idx = jnp.where(jnp.sum(av, axis=-1) > 0, jnp.argmin(ade, axis=-1), 0)
     best = jnp.take_along_axis(
         samples, idx.reshape((-1, 1) + (1,) * (samples.ndim - 2)), axis=1
     )[:, 0]
@@ -191,16 +195,53 @@ def choose_closest_to_gt(
 
 
 def choose_best_sample(
-    samples: jnp.ndarray, guide_losses: jnp.ndarray
+    samples: jnp.ndarray,
+    guide_losses: jnp.ndarray,
+    scene_index: Optional[jnp.ndarray] = None,
+    scene_level: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Filtration: pick the sample with the lowest total guidance loss per
-    agent (`choose_act_using_guide_loss`, `diffuser_helpers.py:762+` /
-    `guidance_loss.py:22`).
+    """Filtration: pick the sample with the lowest total guidance loss
+    (`choose_action_from_guidance`, `guidance_loss.py:22-64`).
 
-    samples [B, N, ...], guide_losses [B, N] -> ([B, ...], [B] indices).
+    Per-agent independent argmin by default. When `scene_level` is True
+    (any scene-coupled rule — agent_collision / social_group /
+    gptcollision / gptkeepdistance — is active, `guidance_loss.py:49-56`),
+    each SCENE picks ONE shared sample index by argmin of the
+    agent-summed loss: pair losses score sample n under the assumption
+    that every agent in the scene plays sample n, so per-agent
+    independent picks would execute trajectory combinations that were
+    never scored.
+
+    samples [B, N, ...], guide_losses [B, N], scene_index [B] int ->
+    ([B, ...], [B] indices).
     """
-    idx = jnp.argmin(guide_losses, axis=-1)  # [B]
+    if scene_level and scene_index is not None:
+        B = guide_losses.shape[0]
+        per_scene = jax.ops.segment_sum(
+            guide_losses, scene_index, num_segments=B
+        )  # [B(seg), N]; unused segment rows are all-zero and never read
+        idx = jnp.argmin(per_scene, axis=-1)[scene_index]  # [B]
+    else:
+        idx = jnp.argmin(guide_losses, axis=-1)  # [B]
     best = jnp.take_along_axis(
         samples, idx.reshape((-1, 1) + (1,) * (samples.ndim - 2)), axis=1
     )[:, 0]
     return best, idx
+
+
+# rules whose per-sample loss couples agents within a scene — filtration
+# must then share one sample index per scene (reference name list at
+# `guidance_loss.py:49-50`: agent_collision, social_group, gptcollision,
+# gptkeepdistance)
+def is_scene_level_spec(spec: GuidanceSpec) -> bool:
+    from cld_tpu.guidance.losses import (
+        AgentCollisionLoss,
+        CollisionAttackLoss,
+        KeepDistanceLoss,
+        SocialGroupLoss,
+    )
+
+    return isinstance(
+        spec.loss,
+        (AgentCollisionLoss, CollisionAttackLoss, KeepDistanceLoss, SocialGroupLoss),
+    )

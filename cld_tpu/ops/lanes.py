@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cld_tpu.ops.dynamics import angle_diff
 from cld_tpu.ops.geometry import transform_points
@@ -48,21 +49,32 @@ def closest_lane_points(
     heading_weight: float = 0.1,
     max_dist: float = 80.0,
     ahead_threshold: float = -40.0,
+    max_heading_error: float = 0.25 * np.pi,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Closest-K lane points for each agent, in the agent's frame.
 
     Returns (points [B, K, 3] agent-frame (x, y, yaw), avail [B, K] bool).
     Unavailable / too-far / behind-threshold points get avail=False and are
     zero-filled so downstream soft-assignment losses can mask them.
+    Candidates whose (wrapped) heading deviates by more than
+    `max_heading_error` are excluded outright — the reference's
+    `get_current_lane(..., max_heading_error=0.25*pi)` filter
+    (`trajdata_utils.py:599,967`); without it an oncoming antiparallel
+    lane 3.5 m away survives the top-K and corrupts the soft-assigned
+    lane yaw. The RANKING score then uses the reference's raw
+    `np.abs(h_lane - h_agent)` (`trajdata_utils.py:921`) — unwrapped, its
+    +/-pi-seam quirk included — so orderings match the reference exactly.
     """
     d = jnp.linalg.norm(lanes_world[..., :2] - pos_world[:, None], axis=-1)  # [B, L]
-    dh = jnp.abs(angle_diff(lanes_world[..., 2], yaw_world[:, None]))
-    score = dist_weight * d + heading_weight * dh
+    dh_wrapped = jnp.abs(angle_diff(lanes_world[..., 2], yaw_world[:, None]))
+    dh_raw = jnp.abs(lanes_world[..., 2] - yaw_world[:, None])
+    score = dist_weight * d + heading_weight * dh_raw
 
     lanes_agent = transform_lanes_to_agent(lanes_world, agent_from_world)
     ok = (
         lanes_avail
         & (d <= max_dist)
+        & (dh_wrapped <= max_heading_error)
         & (lanes_agent[..., 0] > ahead_threshold)
     )
     score = jnp.where(ok, score, jnp.inf)
@@ -106,7 +118,20 @@ def merge_scene_lanes(
         # grid dedupe on (x, y); keep first occurrence (stable)
         keys = np.round(pts[:, :2] / dedupe_resolution).astype(np.int64)
         _, first = np.unique(keys, axis=0, return_index=True)
-        pts = pts[np.sort(first)][:max_points]
+        pts = pts[np.sort(first)]
+        if len(pts) > max_points:
+            # even-stride subsample instead of a prefix cut: a prefix keeps
+            # only the EARLIEST agents' lane coverage and silently turns
+            # lane guidance off for the rest of the scene
+            sel = np.unique(
+                np.linspace(0, len(pts) - 1, max_points).round().astype(int)
+            )
+            print(
+                f"[lanes] scene {s}: {len(pts)} deduped lane points "
+                f"subsampled to {len(sel)} (max_points={max_points}; raise "
+                "it or coarsen dedupe_resolution for denser coverage)"
+            )
+            pts = pts[sel]
         out[s, : len(pts)] = pts
         out_avail[s, : len(pts)] = True
     return out, out_avail

@@ -14,12 +14,33 @@ closed-loop simulator never leaves the device:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from cld_tpu.ops.geometry import transform_points
+
+
+def quantize_world_maps_q8(world_maps: jnp.ndarray) -> jnp.ndarray:
+    """World maps in [0, 1] -> int8 bytes for the banded warp's window
+    gather (exact for the usual {0, k/255} mask layers, <=1/510 off
+    otherwise). Bytes >= 128 must wrap to negative EXPLICITLY: XLA's
+    float->int8 convert clamps out-of-range values at 127 instead of
+    wrapping."""
+    qw = jnp.round(jnp.clip(world_maps, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    return jnp.where(qw >= 128, qw - 256, qw).astype(jnp.int8)
+
+
+def _ego_center_px(raster_size: int, ego_center: Tuple[float, float]):
+    """Ego pixel position: the ONE place the ((1+e)/2)*size convention
+    (raster_from_agent_matrix; reference trajdata_utils.py:385-395) is
+    written — the viewport query math AND the banded warp's window
+    centroids both read it, so they cannot diverge."""
+    return (
+        (1.0 + ego_center[0]) / 2.0 * raster_size,
+        (1.0 + ego_center[1]) / 2.0 * raster_size,
+    )
 
 
 def _viewport_world_pixels(
@@ -42,10 +63,7 @@ def _viewport_world_pixels(
     queries in raster row-major order; ix/iy UNCLAMPED consumers must clip.
     """
     H = W = raster_size
-    # same ego-center convention as raster_from_agent_matrix (and the
-    # reference, trajdata_utils.py:385-395): agent at ((1+e)/2)*size
-    cx = (1.0 + ego_center[0]) / 2.0 * raster_size
-    cy = (1.0 + ego_center[1]) / 2.0 * raster_size
+    cx, cy = _ego_center_px(raster_size, ego_center)
     xs = (jnp.arange(W, dtype=jnp.float32) - cx) * pixel_size
     ys = (jnp.arange(H, dtype=jnp.float32) - cy) * pixel_size
     gx, gy = jnp.meshgrid(xs, ys)  # [H, W] agent-frame meters
@@ -127,6 +145,7 @@ def warp_scene_maps(
     ego_center: Tuple[float, float] = (-0.5, 0.0),
     fill_value: float = 0.0,
     impl: str = "auto",
+    world_maps_q8: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Egocentric semantic rasters for a batch of agents across scenes.
 
@@ -178,8 +197,7 @@ def warp_scene_maps(
         raster_size, pixel_size, ego_center,
     )  # [Na, H*W] each
 
-    cx = (1.0 + ego_center[0]) / 2.0 * raster_size
-    cy = (1.0 + ego_center[1]) / 2.0 * raster_size
+    cx, cy = _ego_center_px(raster_size, ego_center)
 
     # --- per-(agent, band) windows around the band's world centroid ---
     band_cy = (jnp.arange(NB, dtype=jnp.float32) + 0.5) * BH
@@ -199,11 +217,11 @@ def warp_scene_maps(
     ox = jnp.clip(ctr_px[..., 0] - WIN // 2, 0, Ww - WIN).reshape(M)
     oy = jnp.clip(ctr_px[..., 1] - WIN // 2, 0, Hw - WIN).reshape(M)
 
-    # 8-bit quantized maps; loop-invariant given the map, cheap otherwise.
-    # Bytes >= 128 must wrap to negative EXPLICITLY: XLA's float->int8
-    # convert clamps out-of-range values at 127 instead of wrapping.
-    qw = jnp.round(jnp.clip(world_maps, 0.0, 1.0) * 255.0).astype(jnp.int32)
-    q8 = jnp.where(qw >= 128, qw - 256, qw).astype(jnp.int8)
+    # 8-bit quantized maps. XLA does NOT hoist this out of the closed-loop
+    # replan scan (same class of issue as prepack_drivable), so callers in
+    # a loop should quantize ONCE via quantize_world_maps_q8 and pass
+    # `world_maps_q8` (sim/env.py:simulate does).
+    q8 = world_maps_q8 if world_maps_q8 is not None else quantize_world_maps_q8(world_maps)
     scene_m = jnp.repeat(scene_index, NB)
 
     def slice_one(m):

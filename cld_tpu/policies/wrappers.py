@@ -90,12 +90,17 @@ def guided_sampling_policy(
     samples, score each with the guidance losses, execute the best."""
 
     def policy(obs, rng):
+        from cld_tpu.guidance.perturbation import is_scene_level_spec
+
         trajs = sampler(obs, rng)  # [B, N, T, 6]
         ctx = make_ctx(obs)
         total = jnp.zeros(trajs.shape[:2])
         for spec in specs:
             total = total + spec.weight * spec.loss(trajs, ctx, agt_mask=None)
-        best, _ = choose_best_sample(trajs, total)
+        best, _ = choose_best_sample(
+            trajs, total, scene_index=ctx.scene_index,
+            scene_level=any(is_scene_level_spec(s) for s in specs),
+        )
         return Action(positions=best[..., :2], yaws=best[..., 3:4], controls=best[..., 4:6])
 
     return policy

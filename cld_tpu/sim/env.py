@@ -127,7 +127,9 @@ def drivable_at_world(pack: ScenePack, pos: jnp.ndarray) -> jnp.ndarray:
     return pack.world_map[pack.scene_index, iy, ix, 0]
 
 
-def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> TrafficBatch:
+def render_observation(
+    pack: ScenePack, state: SimState, cfg: SimConfig, world_q8=None
+) -> TrafficBatch:
     """World state -> agent-centric TrafficBatch (the on-device equivalent of
     `EnvUnifiedSimulation.get_observation`, `env_trajdata.py:314-369`)."""
     Na = pack.num_agents
@@ -148,6 +150,7 @@ def render_observation(pack: ScenePack, state: SimState, cfg: SimConfig) -> Traf
         cfg.raster_size,
         cfg.pixel_size,
         cfg.ego_center,
+        world_maps_q8=world_q8,
     )  # [Na, H, W, C_sem]
 
     # histories into each agent's frame
@@ -342,9 +345,15 @@ def simulate(
     """
     state = init_sim_state(pack, cfg)
     replan_rngs = jax.random.split(rng, cfg.num_replans)
+    # quantize the world maps ONCE outside the replan scan — XLA does not
+    # hoist the pass out of the loop (same class as prepack_drivable), so
+    # inlining it in render_observation would re-run it every replan
+    from cld_tpu.ops.raster import quantize_world_maps_q8
+
+    world_q8 = quantize_world_maps_q8(pack.world_map)
 
     def replan(state, step_rng):
-        obs = render_observation(pack, state, cfg)
+        obs = render_observation(pack, state, cfg, world_q8=world_q8)
         actions = policy_fn(obs, step_rng)
         # policies may return an Action container (cld_tpu.policies) or a
         # raw [Na, T, 2] (acc, yawvel) array

@@ -225,10 +225,16 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
             )
         elif num_samp > 1 and specs:
             # filtration: pick the sample minimizing the total guidance
-            # loss per agent (`choose_action_from_guidance`,
-            # guidance_loss.py:22; algos/algos.py:2024-2100)
+            # loss (`choose_action_from_guidance`, guidance_loss.py:22;
+            # algos/algos.py:2024-2100) — scene-coupled rules force ONE
+            # shared sample per scene (guidance_loss.py:49-56)
+            from cld_tpu.guidance.perturbation import is_scene_level_spec
+
             losses = per_sample_guidance_loss(traj, ctx, specs)  # [Na, N]
-            best, _ = choose_best_sample(traj, losses)  # [Na, T, 6]
+            best, _ = choose_best_sample(
+                traj, losses, scene_index=obs.scene_index,
+                scene_level=any(is_scene_level_spec(s) for s in specs),
+            )  # [Na, T, 6]
         else:
             best = traj[:, 0]
         actions = best[:, :, 4:6]

@@ -332,6 +332,40 @@ def test_choose_best_sample():
     np.testing.assert_allclose(np.asarray(best[1]), np.asarray(samples[1, 0]))
 
 
+def test_choose_best_sample_scene_level():
+    """Scene-coupled rules force ONE shared sample per scene: argmin of the
+    agent-summed loss (`choose_action_from_guidance`, guidance_loss.py:
+    49-56) — per-agent independent picks would execute pair-trajectory
+    combinations the collision loss never scored."""
+    from cld_tpu.guidance.perturbation import is_scene_level_spec
+    from cld_tpu.guidance.losses import (
+        AgentCollisionLoss,
+        CollisionAttackLoss,
+        SpeedLimitLoss,
+    )
+    from cld_tpu.guidance.perturbation import GuidanceSpec
+
+    samples = jnp.arange(4 * 3 * 2).reshape(4, 3, 2).astype(jnp.float32)
+    # scene 0 = agents {0, 1}: summed loss per sample [4, 3, 3] -> best n=2
+    # even though agent 0 alone would pick n=0
+    losses = jnp.array(
+        [[1.0, 5.0, 2.0], [5.0, 5.0, 1.0], [9.0, 0.0, 9.0], [0.0, 8.0, 9.0]]
+    )
+    scene = jnp.array([0, 0, 1, 1])
+    best, idx = choose_best_sample(samples, losses, scene, scene_level=True)
+    np.testing.assert_array_equal(np.asarray(idx), [2, 2, 1, 1])
+    np.testing.assert_allclose(np.asarray(best[0]), np.asarray(samples[0, 2]))
+    # without scene_level: independent picks
+    _, idx_ind = choose_best_sample(samples, losses, scene, scene_level=False)
+    np.testing.assert_array_equal(np.asarray(idx_ind), [0, 2, 1, 0])
+    # rule classification matches the reference's name list
+    assert is_scene_level_spec(GuidanceSpec(AgentCollisionLoss(), 1.0))
+    assert is_scene_level_spec(
+        GuidanceSpec(CollisionAttackLoss(attacker_ind=0, victim_ind=1), 1.0)
+    )
+    assert not is_scene_level_spec(GuidanceSpec(SpeedLimitLoss(speed_limit=5.0), 1.0))
+
+
 def test_lane_following_loss():
     from cld_tpu.guidance.losses import LaneFollowingLoss
 

@@ -173,3 +173,30 @@ def test_converter_lane_extra_hook():
     # sorted nearest-first relative to the agent world pos (5, 0)
     d = np.abs(finite[:, 0] - 0.0)  # agent-frame x distance
     assert (np.diff(np.hypot(finite[:, 0], finite[:, 1] )) >= -1e-6).all() or len(finite) <= 1
+
+
+def test_closest_lane_points_excludes_oncoming_lane():
+    """The reference's get_current_lane(max_heading_error=0.25*pi) filter
+    (`trajdata_utils.py:599,967`): antiparallel (oncoming) lane points must
+    not enter the top-K even when they are the nearest."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cld_tpu.ops.geometry import agent_from_world_matrix
+    from cld_tpu.ops.lanes import closest_lane_points
+
+    # agent at origin heading +x; own lane 2 m left, oncoming lane 1 m right
+    own = np.stack([np.arange(10, dtype=np.float32), np.full(10, 2.0),
+                    np.zeros(10)], -1)
+    oncoming = np.stack([np.arange(10, dtype=np.float32), np.full(10, -1.0),
+                         np.full(10, np.pi)], -1)
+    lanes = jnp.asarray(np.concatenate([own, oncoming])[None])  # [1, 20, 3]
+    avail = jnp.ones((1, 20), bool)
+    pos = jnp.zeros((1, 2))
+    yaw = jnp.zeros((1,))
+    afw = agent_from_world_matrix(pos, yaw)
+    pts, av = closest_lane_points(lanes, avail, pos, yaw, afw, k=12)
+    av = np.asarray(av[0])
+    pts = np.asarray(pts[0])
+    assert av[:10].all() and not av[10:].any()  # only the 10 own-lane points
+    # every kept point is the co-directional lane (agent-frame yaw ~ 0)
+    assert np.abs(pts[av][:, 2]).max() < 0.1
