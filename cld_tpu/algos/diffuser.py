@@ -25,7 +25,13 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from cld_tpu.ops.diffusion import DiffusionSchedule, extract, q_sample
+from cld_tpu.ops.diffusion import (
+    DiffusionSchedule,
+    extract,
+    predict_start_from_noise,
+    q_posterior_mean,
+    q_sample,
+)
 from cld_tpu.ops.dynamics import UnicycleParams, unicycle_forward_dynamics
 from cld_tpu.ops.normalization import TrajNormalizer
 
@@ -40,18 +46,10 @@ def predict_noise_from_start(schedule, x_t, t, x0):
     ) / extract(schedule.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
 
 
-def predict_start_from_noise(schedule, x_t, t, noise):
-    return (
-        extract(schedule.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
-        - extract(schedule.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
-    )
-
-
 def q_posterior(schedule, x0, x_t, t):
-    mean = (
-        extract(schedule.posterior_mean_coef1, t, x_t.ndim) * x0
-        + extract(schedule.posterior_mean_coef2, t, x_t.ndim) * x_t
-    )
+    """(mean, log_var) of q(x_{t-1} | x_t, x0) — thin wrapper over the
+    shared ops.diffusion helpers so the math lives in one module."""
+    mean = q_posterior_mean(schedule, x0, x_t, t)
     log_var = extract(schedule.posterior_log_variance_clipped, t, x_t.ndim)
     return mean, log_var
 
@@ -66,14 +64,15 @@ class RawActionDiffuser:
         dyn_params: UnicycleParams,
         normalizer: Optional[TrajNormalizer] = None,
         dt: float = 0.1,
-        moving_speed_th: float = 0.5,
     ):
+        # NOTE: the stationary mask is computed by the CALLER
+        # (stationary_mask_from_speed) and passed into loss/sample — a
+        # threshold stored here would be a knob that does nothing
         self.net = net
         self.schedule = schedule
         self.dyn = dyn_params
         self.normalizer = normalizer or TrajNormalizer()
         self.dt = dt
-        self.moving_speed_th = moving_speed_th
 
     # -- shared pieces ---------------------------------------------------
     def actions_to_traj(self, actions_scaled: jnp.ndarray, curr_states: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +113,7 @@ class RawActionDiffuser:
             eps_c = predict_noise_from_start(self.schedule, x_actions, t, x0)
             eps_u = predict_noise_from_start(self.schedule, x_actions, t, x0_uncond)
             eps = (1 + class_free_guide_w) * eps_c - class_free_guide_w * eps_u
-            x0 = predict_start_from_noise(self.schedule, x_actions, t, eps)
+            x0 = predict_start_from_noise(self.schedule, x_actions, eps, t)
         if stationary_mask is not None:
             # zero actions (in descaled space) for stationary agents
             zero_scaled = self.normalizer.scale(jnp.zeros_like(x0), [4, 5])

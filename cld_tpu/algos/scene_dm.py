@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from cld_tpu.ops.diffusion import (
     DiffusionSchedule,
-    normal_log_prob,
     posterior_mean_logvar,
     q_sample,
 )

@@ -192,10 +192,12 @@ def heuristic_stop_sign(pack, state, ahead_m: float = 15.0, box_half=(5.0, 3.0),
                            -si * rel[:, 0] + c * rel[:, 1]], axis=-1)
     else:
         center = np.tile([ahead_m, 0.0], (B, 1))
+    # StopSignLoss takes FULL dims (reference Box convention); the
+    # shorthand spelling's box_half is half extents -> double it
     if stop_box_dim is not None:
-        dim = np.tile(np.asarray(stop_box_dim, np.float32) / 2.0, (B, 1))
+        dim = np.tile(np.asarray(stop_box_dim, np.float32), (B, 1))
     else:
-        dim = np.tile(box_half, (B, 1))
+        dim = np.tile(np.asarray(box_half, np.float32) * 2.0, (B, 1))
     return GuidanceSpec(
         StopSignLoss(stop_box_center=center.astype(np.float32),
                      stop_box_dim=dim.astype(np.float32), scale=scale),

@@ -116,44 +116,49 @@ def _min_dist_rigid(pts: jnp.ndarray, d2_local: jnp.ndarray, onroad: jnp.ndarray
     extent-scaled local grid, so pairwise distances between them are
     pose-invariant: `d2_local` [..., P, P] is computed ONCE per agent
     (scan-invariant — XLA hoists it out of the 100-step sampling loop) and
-    the per-step forward is just a masked min over it. The reference
-    gradient (live rows vs detached columns, `guidance_loss.py:826-850`)
-    is reinjected analytically in the custom backward: column j's cotangent
-    flows to its argmin row i* as g_j * (p_i* - p_j) / d_j, routed with two
-    small one-hot matmuls (TPU scatters are slow; matmuls are not).
+    the per-step forward is ONE plain min reduce over it (no variadic
+    argmin — that lowers worse on the TPU VPU). The reference gradient
+    (live rows vs detached columns through `torch.amin`,
+    `guidance_loss.py:826-850`) is reinjected analytically in the custom
+    backward: column j's cotangent flows to its min row(s) as
+    g_j * (p_i - p_j) / d_j, SPLIT EVENLY among exact ties — torch.amin's
+    (and jnp.min AD's) tie rule, which the regular bbox grid hits whenever
+    an off-road point sits symmetrically between two on-road neighbors.
+    Rows are recovered in the backward by exact float equality against the
+    stored min (the recomputed masked d2 repeats the forward's ops
+    bitwise) and routed with rank-reducing one-hot contractions (TPU
+    scatters are slow; fused compare-reduces are not).
 
     pts [..., P, 2] CURRENT pose points (bwd only), onroad [..., P] bool.
     """
-    d, _ = _min_dist_rigid_core(d2_local, onroad)
-    return d
-
-
-def _min_dist_rigid_core(d2_local, onroad):
     d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
-    idx = jnp.argmin(d2, axis=-2)
-    return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12), idx
+    return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12)
 
 
 def _min_dist_rigid_fwd(pts, d2_local, onroad):
-    d, idx = _min_dist_rigid_core(d2_local, onroad)
-    return d, (pts, idx, d)
+    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
+    m2 = jnp.min(d2, axis=-2)
+    return jnp.sqrt(m2 + 1e-12), (pts, d2_local, onroad, m2)
 
 
 def _min_dist_rigid_bwd(res, g):
-    pts, idx, dist = res
-    P = pts.shape[-2]
-    a = g / dist  # [..., P]
-    # grad_i = p_i * sum_j 1[i*_j = i] a_j  -  sum_j 1[i*_j = i] a_j p_j.
-    # Three separate vector contractions, NOT one einsum with a channel
-    # axis: "...ij,...jc->...ic" lowers to a dot, which forces the [..., P, P]
-    # one-hot to materialize in HBM (~266 MB at bench scale, the single
-    # largest guided-step cost when measured); rank-reducing "...ij,...j->...i"
+    pts, d2_local, onroad, m2 = res
+    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
+    # [..., P(row), P(col)] tie-normalized one-hot: equality against the
+    # stored min is exact (same ops as the forward), count >= 1 whenever
+    # any row is on-road; all-off-road columns get upstream g = 0
+    eq = (d2 == m2[..., None, :]).astype(pts.dtype)
+    cnt = jnp.sum(eq, axis=-2)  # [..., P] ties per column
+    a = g / jnp.sqrt(m2 + 1e-12) / jnp.maximum(cnt, 1.0)  # [..., P]
+    # Three separate rank-reducing contractions, NOT one einsum with a
+    # channel axis: "...ij,...jc->...ic" lowers to a dot, which forces the
+    # [..., P, P] one-hot to materialize in HBM (~266 MB at bench scale,
+    # the single largest guided-step cost when measured); the "...ij,...j"
     # reduces stay fused with the compare, so the pairwise tensor never
     # leaves registers.
-    onehot = (idx[..., None, :] == jnp.arange(P)[:, None]).astype(pts.dtype)
-    s_a = jnp.einsum("...ij,...j->...i", onehot, a)
-    s_apx = jnp.einsum("...ij,...j->...i", onehot, a * pts[..., 0])
-    s_apy = jnp.einsum("...ij,...j->...i", onehot, a * pts[..., 1])
+    s_a = jnp.einsum("...ij,...j->...i", eq, a)
+    s_apx = jnp.einsum("...ij,...j->...i", eq, a * pts[..., 0])
+    s_apy = jnp.einsum("...ij,...j->...i", eq, a * pts[..., 1])
     s_ap = jnp.stack([s_apx, s_apy], axis=-1)
     grad = pts * s_a[..., None] - s_ap
     return grad, None, None
@@ -161,45 +166,10 @@ def _min_dist_rigid_bwd(res, g):
 
 _min_dist_rigid.defvjp(_min_dist_rigid_fwd, _min_dist_rigid_bwd)
 
-
-@jax.custom_vjp
-def _min_dist_rigid_eqmin(pts, d2_local, onroad):
-    """Argmin-free forward of the rigid masked min (min_fwd_impl="eqmin").
-
-    `jnp.argmin` lowers to a VARIADIC reduce on TPU (value+index carried
-    together), which vectorizes worse than a plain min. This twin keeps the
-    forward to ONE plain min reduce and defers index recovery to the
-    backward: rows matching the stored min are found by exact float
-    equality (the recomputed masked d2 repeats the forward's ops bitwise),
-    and the lowest tied row index — `jnp.argmin`'s tie rule, hence the
-    reference's (`torch.min`, guidance_loss.py:826-850) — is selected with
-    an index-min. Numerics (values AND gradients) are identical to
-    `_min_dist_rigid`; only the op schedule differs. A/B knob for TPU
-    measurement."""
-    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
-    return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12)
-
-
-def _min_dist_rigid_eqmin_fwd(pts, d2_local, onroad):
-    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
-    m2 = jnp.min(d2, axis=-2)
-    return jnp.sqrt(m2 + 1e-12), (pts, d2_local, onroad, m2)
-
-
-def _min_dist_rigid_eqmin_bwd(res, g):
-    pts, d2_local, onroad, m2 = res
-    P = pts.shape[-2]
-    d2 = jnp.where(onroad[..., :, None], d2_local, _BIG_D2)
-    rows = jnp.arange(P, dtype=jnp.int32)[:, None]
-    idx = jnp.min(
-        jnp.where(d2 == m2[..., None, :], rows, P), axis=-2
-    )  # [..., P] lowest tied row == argmin
-    dist = jnp.sqrt(m2 + 1e-12)
-    grad, _, _ = _min_dist_rigid_bwd((pts, idx, dist), g)
-    return grad, None, None
-
-
-_min_dist_rigid_eqmin.defvjp(_min_dist_rigid_eqmin_fwd, _min_dist_rigid_eqmin_bwd)
+# min_fwd_impl="eqmin" predates the consolidation: the argmin-free forward
+# + equality-recovered backward IS the default now, so the knob aliases it
+# (kept so BENCH_MAP_MIN_FWD=eqmin A/B runs remain valid no-ops).
+_min_dist_rigid_eqmin = _min_dist_rigid
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -228,8 +198,24 @@ def _min_dist_rigid_fused_fwd(pts, d2_local, onroad, interpret):
     return d, (pts, idx, d)
 
 
+def _route_by_idx_bwd(res, g):
+    """Winner-take-all routing to the argmin row — used by the pallas
+    experimental paths whose kernels return an index. NOTE: on exact
+    distance ties this routes the whole cotangent to one row, while the
+    default jnp path (and torch.amin in the reference) splits evenly."""
+    pts, idx, dist = res
+    P = pts.shape[-2]
+    a = g / dist
+    onehot = (idx[..., None, :] == jnp.arange(P)[:, None]).astype(pts.dtype)
+    s_a = jnp.einsum("...ij,...j->...i", onehot, a)
+    s_apx = jnp.einsum("...ij,...j->...i", onehot, a * pts[..., 0])
+    s_apy = jnp.einsum("...ij,...j->...i", onehot, a * pts[..., 1])
+    s_ap = jnp.stack([s_apx, s_apy], axis=-1)
+    return pts * s_a[..., None] - s_ap
+
+
 def _min_dist_rigid_fused_bwd(interpret, res, g):
-    return _min_dist_rigid_bwd(res, g)
+    return _route_by_idx_bwd(res, g), None, None
 
 
 _min_dist_rigid_fused.defvjp(_min_dist_rigid_fused_fwd, _min_dist_rigid_fused_bwd)
@@ -426,6 +412,11 @@ class AgentCollisionLoss:
     # max_agents and compare MaxA x MaxA", guidance_loss.py:572) realized;
     # numerics are IDENTICAL to the flat path (cross-scene pairs are zero
     # there, and the mean stays over the full B). None = generic flat path.
+    # CAVEAT: the layout claim is NOT validated at runtime (scene_index is
+    # traced) — setting this on a batch whose scenes straddle block
+    # boundaries silently drops those cross-block pairs. Construct via
+    # heuristics._uniform_scene_block, which checks the layout host-side
+    # and returns None when it does not hold.
     scene_block: Optional[int] = None
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
@@ -658,16 +649,6 @@ class MapCollisionLoss:
         # matrix stays inside one fused compare-and-reduce. Chunk-scanned
         # over the horizon to bound the tile at scene scale (_time_chunk).
         w = _decay_weights(T, self.decay_rate)
-        K = _time_chunk(T, B * N * P * P)
-        pad = (-T) % K
-        pts_t = jnp.pad(
-            agt_pts.transpose(2, 0, 1, 3, 4), ((0, pad),) + ((0, 0),) * 4
-        ).reshape(-1, K, B, N, P, 2)
-        off_t = jnp.pad(offroad.transpose(2, 0, 1, 3), ((0, pad),) + ((0, 0),) * 3)
-        off_t = off_t.reshape(-1, K, B, N, P)
-        ov_t = jnp.pad(overlap.transpose(2, 0, 1), ((0, pad), (0, 0), (0, 0)))
-        ov_t = ov_t.reshape(-1, K, B, N)
-        w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
 
         if self.min_dist_impl == "separable":
             # exact separable EDT over the regular bbox grid (see
@@ -794,6 +775,18 @@ class MapCollisionLoss:
 
         if use_ckpt:
             step = jax.checkpoint(step)
+        # chunk-scan plumbing (built only on this path — the full-horizon
+        # branches above return before needing it)
+        K = _time_chunk(T, B * N * P * P)
+        pad = (-T) % K
+        pts_t = jnp.pad(
+            agt_pts.transpose(2, 0, 1, 3, 4), ((0, pad),) + ((0, 0),) * 4
+        ).reshape(-1, K, B, N, P, 2)
+        off_t = jnp.pad(offroad.transpose(2, 0, 1, 3), ((0, pad),) + ((0, 0),) * 3)
+        off_t = off_t.reshape(-1, K, B, N, P)
+        ov_t = jnp.pad(overlap.transpose(2, 0, 1), ((0, pad), (0, 0), (0, 0)))
+        ov_t = ov_t.reshape(-1, K, B, N)
+        w_c = jnp.pad(w, (0, pad)).reshape(-1, K)
         loss, _ = jax.lax.scan(step, jnp.zeros((B, N)), (pts_t, off_t, ov_t, w_c))
         moving = jnp.abs(ctx.curr_speed) > self.guide_moving_speed_th
         return jnp.where(moving[:, None], loss, 0.0)
@@ -927,11 +920,16 @@ class GlobalStopSignLoss:
     semantics, replacing the reference's stlcg dependency); loss =
     relu(-robustness).
 
-    The reference latches `already_stopped` across rollout steps from agent
-    history; here the latch is re-derived each call from
-    `ctx.agent_hist_world` (last `action_num` frames), which reproduces the
-    reference's update rule (set when >=k low-speed in-box frames, reset when
-    the latest frame is outside the box) without cross-call state.
+    The reference latches `already_stopped` across rollout steps: set after
+    k consecutive low-speed in-box frames, released only when the vehicle
+    EXITS the box (`guidance_loss.py:1415-1422`). Here the latch is
+    re-derived statelessly each call from the FULL `ctx.agent_hist_world`
+    window: a run of k consecutive low-speed frames strictly after the last
+    out-of-box frame latches it, which matches the reference exactly while
+    the stop event stays inside the history window (hist_frames+1 frames,
+    ~3 s at the config of record). Divergence window: a vehicle that
+    stopped, then crept inside the box for LONGER than the history length
+    is re-penalized here but stays latched in the reference.
     """
 
     stop_sign_pos: np.ndarray  # [B, 2] world-frame box centers
@@ -975,14 +973,24 @@ class GlobalStopSignLoss:
         loss = jax.nn.relu(-robustness)
 
         if ctx.agent_hist_world is not None:
-            hist = ctx.agent_hist_world[:, -self.action_num :]  # [B, k', 4]
+            hist = ctx.agent_hist_world  # [B, Th, 4] full history window
+            Th = hist.shape[1]
             in_box = jnp.all(
                 jnp.abs(hist[..., :2] - center[:, None]) <= half[:, None], axis=-1
-            )  # [B, k']
+            )  # [B, Th]
             low = jnp.abs(hist[..., 2]) < self.low_speed_th
-            stopped = jnp.sum(in_box & low, axis=-1) >= self.num_time_steps_to_stop
-            outside_now = ~in_box[:, -1]
-            already = stopped & ~outside_now
+            # frames strictly after the last out-of-box frame: the latch
+            # only survives while the vehicle has stayed in the box since
+            # stopping (the reference releases it at box exit)
+            since_exit = jnp.flip(
+                jnp.cumprod(jnp.flip(in_box, -1), -1), -1
+            ).astype(bool)  # [B, Th] suffix all-in-box
+            ok = low & since_exit
+            kk = min(self.num_time_steps_to_stop, Th)
+            runs = jnp.stack(
+                [ok[..., i : Th - kk + 1 + i] for i in range(kk)], axis=-1
+            )
+            already = jnp.any(jnp.all(runs, axis=-1), axis=-1)  # [B]
             loss = jnp.where(already[:, None], 0.0, loss)
         return loss
 
@@ -1015,13 +1023,17 @@ class StopSignLoss:
     box-region speed penalty form)."""
 
     stop_box_center: np.ndarray  # [B, 2] agent-frame center
-    stop_box_dim: np.ndarray  # [B, 2] box half extents
+    # [B, 2] FULL box dims (bounds = center +/- dim/2) — the reference's
+    # convention for this exact parameter name (stl_traffic_rules.py Box:
+    # set_bounds divides by 2), shared with GlobalStopSignLoss so the same
+    # config value means the same box for both rules
+    stop_box_dim: np.ndarray
     stop_speed: float = 0.0
     scale: float = 1.0
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
         center = jnp.asarray(self.stop_box_center, jnp.float32)[:, None, None]
-        half = jnp.asarray(self.stop_box_dim, jnp.float32)[:, None, None]
+        half = jnp.asarray(self.stop_box_dim, jnp.float32)[:, None, None] / 2.0
         inside = jnp.all(jnp.abs(x[..., :2] - center) <= half, axis=-1)  # [B, N, T]
         over = jax.nn.relu(jnp.abs(x[..., 2]) - self.stop_speed)
         return self.scale * jnp.mean(jnp.where(inside, over, 0.0), axis=-1)
@@ -1045,6 +1057,9 @@ class KeepDistanceLoss:
         over = jax.nn.relu(d - self.max_dist) + jax.nn.relu(self.min_dist - d)
         loss = jnp.zeros(x.shape[:2])
         return loss.at[self.target_ind].set(jnp.mean(over, axis=-1))
+
+    def affected_agents(self):
+        return (self.target_ind,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1075,6 +1090,9 @@ class CollisionAttackLoss:
         loss = jnp.zeros(x.shape[:2])
         return loss.at[self.attacker_ind].set(jnp.min(d, axis=-1))
 
+    def affected_agents(self):
+        return (self.attacker_ind,)
+
 
 @dataclasses.dataclass(frozen=True)
 class SocialGroupLoss:
@@ -1096,6 +1114,9 @@ class SocialGroupLoss:
         per_member = jnp.mean(dev, axis=-1)  # [G, N]
         loss = jnp.zeros(x.shape[:2])
         return loss.at[members].set(per_member)
+
+    def affected_agents(self):
+        return self.group
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,6 +67,11 @@ _PARAM_ALIASES = {
     "global_target_pos": {"target_pos": "target_pos_world"},
     "gptcollision": {"target_ind": "attacker_ind", "ref_ind": "victim_ind"},
     "collision_attack": {"target_ind": "attacker_ind", "ref_ind": "victim_ind"},
+    # reference keep_distance spells min_distance/max_distance
+    # (`guidance_loss.py:1635`); without the alias the unknown-param filter
+    # would silently drop them and run with the 5/15 defaults
+    "keep_distance": {"min_distance": "min_dist", "max_distance": "max_dist"},
+    "gptkeepdistance": {"min_distance": "min_dist", "max_distance": "max_dist"},
 }
 
 

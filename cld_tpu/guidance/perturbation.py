@@ -29,6 +29,7 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cld_tpu.guidance.losses import GuidanceContext, masked_mean
 
@@ -56,6 +57,19 @@ def compute_guidance_loss(
             mask = jnp.asarray(spec.agent_mask)
         else:
             mask = jnp.ones((B,), dtype=bool)
+        # agent-indexed rules (attack/keep-distance/social-group) embed an
+        # (n_affected,)-shaped loss into zero-filled [B, N] rows; the
+        # reference means each rule over ITS OWN agents only
+        # (`guidance_loss.py:2174`: torch.mean(cur_loss) where cur_loss is
+        # the masked rows) — meaning over all B would dilute the rule's
+        # gradient by B/n_affected relative to the other rules
+        affected = getattr(spec.loss, "affected_agents", None)
+        if callable(affected):
+            affected = affected()
+        if affected is not None:
+            aff = np.zeros(B, bool)
+            aff[np.asarray(affected, int)] = True
+            mask = mask & jnp.asarray(aff)
         cur = spec.loss(x_traj, ctx, agt_mask=mask)  # [B, N]
         per_losses[f"{type(spec.loss).__name__}_{i}"] = cur
         total = total + masked_mean(cur, mask) * spec.weight

@@ -52,7 +52,8 @@ def test_noise_start_roundtrip():
     x_t = q_sample(sch, x0, t, noise)
     eps = predict_noise_from_start(sch, x_t, t, x0)
     np.testing.assert_allclose(np.asarray(eps), np.asarray(noise), rtol=1e-2, atol=1e-3)
-    back = predict_start_from_noise(sch, x_t, t, eps)
+    # ops.diffusion signature: (schedule, x_t, eps, t)
+    back = predict_start_from_noise(sch, x_t, eps, t)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x0), rtol=1e-2, atol=1e-3)
 
 

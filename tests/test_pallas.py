@@ -282,27 +282,47 @@ def test_map_collision_eqmin_matches_rigid_exactly():
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
-def test_min_dist_rigid_eqmin_unit_ties():
+def test_min_dist_rigid_unit_ties_split_evenly():
     """Unit-level: a hand-built tie (two onroad rows exactly equidistant
-    from a column) routes the gradient to the LOWEST row index, matching
-    jnp.argmin / the reference torch.min tie rule."""
+    from a column) SPLITS the gradient evenly among the tied rows — the
+    reference's torch.amin backward (`guidance_loss.py:840`) and jnp.min
+    AD both do; winner-take-all routing would push only one row."""
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from cld_tpu.guidance.losses import _min_dist_rigid, _min_dist_rigid_eqmin
+    from cld_tpu.guidance.losses import _BIG_D2, _min_dist_rigid
 
     # P=3 points on a line: rows 0 and 2 are both distance 1 from column 1
     pts = jnp.asarray([[[[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]]])  # [1,1,3,2]
-    d2 = jnp.sum((pts[:, 0, :, None] - pts[:, 0, None, :]) ** 2, -1)[:, None]
+    d2_const = jnp.sum(
+        (pts[:, 0, :, None] - pts[:, 0, None, :]) ** 2, -1
+    )[:, None]
     onroad = jnp.asarray([[[True, False, True]]])  # column 1 is offroad
 
-    def loss(fn, p):
-        return fn(p, d2, onroad).sum()
+    def custom(p):
+        # rebuild the pose-dependent cache from p so AD sees the same graph
+        d2 = jnp.sum((p[:, 0, :, None] - p[:, 0, None, :]) ** 2, -1)[:, None]
+        return _min_dist_rigid(p, jax.lax.stop_gradient(d2), onroad).sum()
 
-    v_ref = _min_dist_rigid(pts, d2, onroad)
-    v_eq = _min_dist_rigid_eqmin(pts, d2, onroad)
-    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_eq))
-    g_ref = jax.grad(lambda p: loss(_min_dist_rigid, p))(pts)
-    g_eq = jax.grad(lambda p: loss(_min_dist_rigid_eqmin, p))(pts)
-    assert np.abs(np.asarray(g_ref)).sum() > 0
-    np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_eq))
+    def plain_ad(p):
+        # live rows vs detached columns through plain jnp ops — the
+        # reference formulation the custom VJP must reproduce
+        d2 = jnp.sum(
+            (p[..., :, None, :] - jax.lax.stop_gradient(p)[..., None, :, :]) ** 2,
+            -1,
+        )
+        d2 = jnp.where(onroad[..., :, None], d2, _BIG_D2)
+        return jnp.sqrt(jnp.min(d2, axis=-2) + 1e-12).sum()
+
+    v = _min_dist_rigid(pts, d2_const, onroad)
+    assert np.isfinite(np.asarray(v)).all()
+    g_custom = jax.grad(custom)(pts)
+    g_ad = jax.grad(plain_ad)(pts)
+    assert np.abs(np.asarray(g_ad)).sum() > 0
+    # tied rows 0 and 2 both receive half the pull away from column 1
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_ad), rtol=1e-5, atol=1e-7
+    )
+    gx = np.asarray(g_custom)[0, 0, :, 0]
+    np.testing.assert_allclose(gx[0], -gx[2], rtol=1e-5)
+    assert abs(gx[0]) > 0

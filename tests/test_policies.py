@@ -309,8 +309,8 @@ def test_heuristics_from_reference_configs():
     assert gt.loss.pref_speed == 3.0 and gt.weight == 2.0
     ss = by_type["StopSignLoss"]
     assert isinstance(ss.loss, StopSignLoss)
-    # reference stop_box_dim is FULL dims; the loss takes half extents
-    np.testing.assert_allclose(np.asarray(ss.loss.stop_box_dim)[0], [5.0, 3.0])
+    # stop_box_dim is FULL dims end to end (reference Box convention)
+    np.testing.assert_allclose(np.asarray(ss.loss.stop_box_dim)[0], [10.0, 6.0])
     assert ss.loss.scale == 2.0
     sl = by_type["SpeedLimitLoss"]
     assert isinstance(sl.loss, SpeedLimitLoss)
