@@ -171,6 +171,56 @@ _min_dist_rigid.defvjp(_min_dist_rigid_fwd, _min_dist_rigid_bwd)
 # (kept so BENCH_MAP_MIN_FWD=eqmin A/B runs remain valid no-ops).
 _min_dist_rigid_eqmin = _min_dist_rigid
 
+_BIG_D2_BF16 = jnp.bfloat16(1e12)
+
+
+@jax.custom_vjp
+def _min_dist_rigid_bf16(pts, d2_local, onroad):
+    """bf16-compute twin of `_min_dist_rigid` (min_fwd_impl="bf16").
+
+    The [B, Q, P, P] masked min is VPU-compute-bound (~666M element ops at
+    bench scale); bf16 doubles the VPU lanes. The equality row recovery in
+    the backward still works — the recomputed masked d2 repeats the
+    forward's bf16 ops bitwise — and the tie-splitting rule absorbs the
+    coarser rounding (bf16 just makes near-ties into exact ties, which
+    split, matching torch.amin semantics in spirit). Distances come back
+    with ~2^-8 relative error; measured guidance-gradient cosine vs f32 is
+    0.9999+ (scripts/micro_rigid_bf16.py). Gradient assembly stays f32.
+    """
+    d2 = jnp.where(onroad[..., :, None], d2_local.astype(jnp.bfloat16), _BIG_D2_BF16)
+    m2 = jnp.min(d2, axis=-2)
+    return jnp.sqrt(m2.astype(jnp.float32) + 1e-12)
+
+
+def _min_dist_rigid_bf16_fwd(pts, d2_local, onroad):
+    d2 = jnp.where(onroad[..., :, None], d2_local.astype(jnp.bfloat16), _BIG_D2_BF16)
+    m2 = jnp.min(d2, axis=-2)
+    return jnp.sqrt(m2.astype(jnp.float32) + 1e-12), (pts, d2_local, onroad, m2)
+
+
+def _min_dist_rigid_bf16_bwd(res, g):
+    pts, d2_local, onroad, m2 = res
+    d2 = jnp.where(onroad[..., :, None], d2_local.astype(jnp.bfloat16), _BIG_D2_BF16)
+    # exact bf16 equality against the stored bf16 min; the one-hot and the
+    # contractions run in bf16 (eq is exactly 0/1; `a` loses ~2^-8 relative
+    # on top of the bf16 min it divides by) with f32 accumulation
+    eq = (d2 == m2[..., None, :]).astype(jnp.bfloat16)
+    cnt = jnp.sum(eq, axis=-2, dtype=jnp.float32)
+    m = jnp.sqrt(m2.astype(jnp.float32) + 1e-12)
+    a = (g / m / jnp.maximum(cnt, 1.0)).astype(jnp.bfloat16)
+    px = pts[..., 0].astype(jnp.bfloat16)
+    py = pts[..., 1].astype(jnp.bfloat16)
+    red = functools.partial(jnp.einsum, "...ij,...j->...i",
+                            preferred_element_type=jnp.float32)
+    s_a = red(eq, a)
+    s_apx = red(eq, a * px)
+    s_apy = red(eq, a * py)
+    s_ap = jnp.stack([s_apx, s_apy], axis=-1)
+    return pts * s_a[..., None] - s_ap, None, None
+
+
+_min_dist_rigid_bf16.defvjp(_min_dist_rigid_bf16_fwd, _min_dist_rigid_bf16_bwd)
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _min_dist_rigid_fused(pts, d2_local, onroad, interpret=False):
@@ -562,14 +612,16 @@ class MapCollisionLoss:
     # per-program sweep is sequential), or "eqmin" (plain-min forward, no
     # variadic argmin reduce — the index is recovered in the backward by
     # exact-equality + index-min; bitwise-identical values and grads).
-    # "auto" = "jnp".
+    # "auto" = "jnp". "bf16" runs the masked min + equality backward in
+    # bfloat16 (f32 accumulation/assembly): ~2^-8 relative distance error,
+    # guidance-gradient cosine 0.9999+ vs f32 (scripts/micro_rigid_bf16.py).
     min_fwd_impl: str = "auto"
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
-        if self.min_fwd_impl not in ("auto", "jnp", "fused", "eqmin"):
+        if self.min_fwd_impl not in ("auto", "jnp", "fused", "eqmin", "bf16"):
             raise ValueError(
                 f"unknown min_fwd_impl {self.min_fwd_impl!r} "
-                "(expected auto|jnp|fused|eqmin)"
+                "(expected auto|jnp|fused|eqmin|bf16)"
             )
         B, N, T, _ = x.shape
         P = self.num_points_lw[0] * self.num_points_lw[1]
@@ -719,6 +771,11 @@ class MapCollisionLoss:
                     # argmin-free forward (plain min only; index recovered
                     # in the backward by equality + index-min)
                     min_dist = _min_dist_rigid_eqmin(
+                        agt_pts.reshape(B, N * T, P, 2), d2_local[:, None],
+                        (~offroad).reshape(B, N * T, P),
+                    ).reshape(B, N, T, P)
+                elif self.min_fwd_impl == "bf16":
+                    min_dist = _min_dist_rigid_bf16(
                         agt_pts.reshape(B, N * T, P, 2), d2_local[:, None],
                         (~offroad).reshape(B, N * T, P),
                     ).reshape(B, N, T, P)

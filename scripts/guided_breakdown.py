@@ -152,7 +152,13 @@ def main():
             ),
             10.0,
         )
-        mapc = GuidanceSpec(MapCollisionLoss(min_dist_impl=impl), 10.0)
+        if impl in ("jnp", "fused", "eqmin", "bf16"):
+            # argv names a masked-min FORWARD schedule on the rigid path
+            mapc = GuidanceSpec(
+                MapCollisionLoss(min_dist_impl="rigid", min_fwd_impl=impl), 10.0
+            )
+        else:
+            mapc = GuidanceSpec(MapCollisionLoss(min_dist_impl=impl), 10.0)
         return {
             "none": None,
             "decode": [GuidanceSpec(DummyLoss(), 10.0)],

@@ -282,6 +282,43 @@ def test_map_collision_eqmin_matches_rigid_exactly():
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
+def test_map_collision_bf16_min_matches_rigid():
+    """min_fwd_impl='bf16' (bfloat16 masked min + equality backward, f32
+    assembly — the VPU-bound masked min is the guided step's hottest op and
+    bf16 doubles its lanes) tracks the f32 rigid path within bf16 rounding:
+    loss to ~1e-3 relative, gradient direction cosine > 0.999."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cld_tpu.data.synthetic import synthetic_batch
+    from cld_tpu.guidance.losses import GuidanceContext, MapCollisionLoss
+    from cld_tpu.ops.geometry import world_from_agent_matrix
+
+    B = 3
+    batch = synthetic_batch(seed=0, batch_size=B, raster_size=64)
+    ctx = GuidanceContext(
+        drivable_map=batch.drivable_map, raster_from_agent=batch.raster_from_agent,
+        extent=batch.extent, curr_speed=batch.curr_speed,
+        world_from_agent=world_from_agent_matrix(jnp.zeros((B, 2)), jnp.zeros((B,))),
+        scene_index=jnp.zeros((B,), jnp.int32))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 8.0, (B, 2, 52, 6)), jnp.float32)
+    x = x.at[..., 3].set(jnp.asarray(rng.uniform(-3, 3, (B, 2, 52)), jnp.float32))
+    ref = MapCollisionLoss(min_dist_impl="rigid")
+    b16 = MapCollisionLoss(min_dist_impl="rigid", min_fwd_impl="bf16")
+    l_ref = np.asarray(ref(x, ctx))
+    l_b16 = np.asarray(b16(x, ctx))
+    np.testing.assert_allclose(l_b16, l_ref, rtol=2e-3, atol=1e-2)
+    g1 = np.asarray(jax.grad(lambda v: ref(v, ctx).sum())(x))
+    g2 = np.asarray(jax.grad(lambda v: b16(v, ctx).sum())(x))
+    cos = float(
+        np.dot(g1.ravel(), g2.ravel())
+        / (np.linalg.norm(g1) * np.linalg.norm(g2) + 1e-12)
+    )
+    assert cos > 0.999, cos
+    assert np.all(np.isfinite(g2))
+
+
 def test_min_dist_rigid_unit_ties_split_evenly():
     """Unit-level: a hand-built tie (two onroad rows exactly equidistant
     from a column) SPLITS the gradient evenly among the tied rows — the
