@@ -50,6 +50,15 @@ class GuidanceContext(NamedTuple):
     # pack out of while loops, so packing inside the denoise scan would pay
     # it at every guidance step. Fill via `prepack_drivable`.
     drivable_packed: Optional[jnp.ndarray] = None
+    # MapCollisionLoss bbox invariants, same hoisting story (measured on the
+    # round-3 device profile: XLA recomputed the pose-invariant [B, P, P]
+    # distance cache at EVERY denoise step, 0.065 ms/step at bench scale
+    # despite it being scan-invariant). bbox_pts [B, P, 2] extent-scaled
+    # local grid points; bbox_d2 [B, P, P] their pairwise squared distances.
+    # Fill via `prepack_map_bbox` with the SAME num_points_lw as the loss
+    # (make_perturbation_guidance does this from the spec automatically).
+    bbox_pts: Optional[jnp.ndarray] = None
+    bbox_d2: Optional[jnp.ndarray] = None
 
 
 def prepack_drivable(ctx: "GuidanceContext") -> "GuidanceContext":
@@ -60,6 +69,33 @@ def prepack_drivable(ctx: "GuidanceContext") -> "GuidanceContext":
     from cld_tpu.ops.pallas_kernels import pack_drivable_bits
 
     return ctx._replace(drivable_packed=pack_drivable_bits(ctx.drivable_map))
+
+
+def bbox_local_grid(num_points_lw: Tuple[int, int]) -> jnp.ndarray:
+    """[P, 2] unit bbox sample grid of MapCollisionLoss (row-major r*C+c)."""
+    lwise = np.linspace(-0.5, 0.5, num_points_lw[0])
+    wwise = np.linspace(-0.5, 0.5, num_points_lw[1])
+    return jnp.asarray(
+        np.stack(np.meshgrid(lwise, wwise, indexing="ij"), -1).reshape(-1, 2),
+        dtype=jnp.float32,
+    )
+
+
+def prepack_map_bbox(
+    ctx: "GuidanceContext", num_points_lw: Tuple[int, int] = (10, 10)
+) -> "GuidanceContext":
+    """Fill the MapCollisionLoss bbox invariants (pts grid + pairwise d2).
+
+    Both depend only on ctx.extent and the static grid, so computing them
+    here — outside the sampling scan — replaces a per-denoise-step
+    recompute. Idempotent; the loss falls back to recomputing when absent
+    or when P disagrees with its num_points_lw."""
+    if ctx.bbox_pts is not None:
+        return ctx
+    local = bbox_local_grid(num_points_lw)  # [P, 2]
+    pts = local[None] * ctx.extent[:, None, :2]  # [B, P, 2]
+    d2 = jnp.sum((pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1)
+    return ctx._replace(bbox_pts=pts, bbox_d2=d2)
 
 
 def masked_mean(per_agent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -309,66 +345,121 @@ def _min_dist_separable(pts, onroad, rd2, cd2):
 
     The P = R x C bbox points form a REGULAR anisotropic grid, so the
     nearest-on-road-point distance is an exact two-pass separable Euclidean
-    distance transform: a within-row min over columns, then a min over rows
-    with the row-offset cost added — O(P * (R + C)) work instead of the
-    O(P^2) all-pairs matrix (2k vs 10k ops per point set at 10x10).
-    Distances are identical to the pairwise form.
+    distance transform: a within-row min over source columns (E), then a
+    min over source rows with the row-offset cost added (D) — O(P*(R+C))
+    work instead of the O(P^2) all-pairs matrix (~10x fewer element-ops at
+    10x10). Distances equal the pairwise form (up to f32 rounding of
+    rd2+cd2 vs the directly-summed squared distance).
+
+    Both stages are unrolled over the SMALL grid axis (R resp. C source
+    index), so every live tensor keeps the [B, Q, R, C] shape and the hot
+    sweeps are plain elementwise min chains XLA fuses into one pass —
+    no variadic argmin, no take_along_axis (the round-2 form of this path
+    lowered through both and lost to the all-pairs kernel on TPU).
+
+    Backward: the reference gradient (column j's cotangent flows to its
+    nearest on-road row i* as g_j * (p_i - p_j) / d_j,
+    `guidance_loss.py:826-850`) is recovered by exact float equality
+    against the staged minima (the recomputed masked sums repeat the
+    forward's ops bitwise) and routed with factored one-hot contractions.
+    TIE RULE CAVEAT: exact ties split evenly PER STAGE (equal shares to
+    tied source rows, then equal shares within each row's tied columns) —
+    torch.amin (and the default "rigid" path here) splits evenly over all
+    tied (row, column) sites jointly. The two rules differ only when tied
+    rows have different numbers of tied columns; values are unaffected.
 
     pts [B, Q, P, 2] current pose points (backward only),
     onroad [B, Q, P] bool (P flattened row-major as r * C + c),
     rd2 [B, R, R] squared row-offset distances (spacing_l^2 * (r - r')^2),
     cd2 [B, C, C] squared column-offset distances.
     """
-    d, _ = _min_dist_separable_core(onroad, rd2, cd2)
+    d, _, _ = _sep_stage_minima(onroad, rd2, cd2)
     return d
 
 
-def _min_dist_separable_core(onroad, rd2, cd2):
+def _sep_stage_minima(onroad, rd2, cd2):
+    """Two-stage masked minima: E [B, Q, R, C] (per source row r', nearest
+    on-road column distance to target column c) and D [B, Q, R, C] (full
+    min squared distance per target (r, c))."""
     B, Q, P = onroad.shape
     R = rd2.shape[-1]
     C = cd2.shape[-1]
     on = onroad.reshape(B, Q, R, C)
-    # stage 1: within each source row r', nearest on-road column per target
-    # column c: E[r', c] = min_{c' on-road} cd2[c, c']
-    m1 = jnp.where(on[:, :, :, None, :], cd2[:, None, None], _BIG_D2)  # [B,Q,R',C,C']
-    E = jnp.min(m1, axis=-1)
-    c_star = jnp.argmin(m1, axis=-1)  # [B, Q, R', C]
-    # stage 2: add the row-offset cost and reduce over source rows
-    E_t = jnp.swapaxes(E, 2, 3)  # [B, Q, C, R']
-    M = rd2[:, None, :, None, :] + E_t[:, :, None, :, :]  # [B, Q, R, C, R']
-    D = jnp.min(M, axis=-1)
-    r_star = jnp.argmin(M, axis=-1)  # [B, Q, R, C]
-    cs = jnp.take_along_axis(c_star, r_star, axis=2)  # [B, Q, R, C]
-    idx = (r_star * C + cs).reshape(B, Q, P)
-    return jnp.sqrt(D.reshape(B, Q, P) + 1e-12), idx
+    E = jnp.full((B, Q, R, C), _BIG_D2)
+    for cp in range(C):  # source column c'
+        cand = jnp.where(on[..., cp : cp + 1], cd2[:, None, None, cp, :], _BIG_D2)
+        E = jnp.minimum(E, cand)
+    D = jnp.full((B, Q, R, C), _BIG_D2)
+    for rp in range(R):  # source row r'
+        D = jnp.minimum(D, rd2[:, None, rp, :, None] + E[:, :, rp : rp + 1, :])
+    return jnp.sqrt(D.reshape(B, Q, P) + 1e-12), E, D
 
 
 def _min_dist_separable_fwd(pts, onroad, rd2, cd2):
-    d, idx = _min_dist_separable_core(onroad, rd2, cd2)
-    return d, (pts, idx, d, rd2.shape[-1], cd2.shape[-1])
+    d, E, D = _sep_stage_minima(onroad, rd2, cd2)
+    return d, (pts, onroad, rd2, cd2, E, D)
 
 
 def _min_dist_separable_bwd(res, g):
-    pts, idx, dist, R, C = res
-    # factored one-hot routing: the joint site index (r*, c*) splits into a
-    # row one-hot and a column one-hot, so the backward is two [R, J] x
-    # [C, J] contractions instead of a P x P one-hot — ~10x less traffic
-    a = g / dist  # [B, Q, J]
-    r_s = idx // C
-    c_s = idx % C
-    oR = (r_s[:, :, None, :] == jnp.arange(R)[:, None]).astype(pts.dtype)  # [B,Q,R,J]
-    oC = (c_s[:, :, None, :] == jnp.arange(C)[:, None]).astype(pts.dtype)  # [B,Q,C,J]
+    """Factored equality routing, laid out so every hot tensor keeps a
+    WIDE trailing axis (the flattened P target index, not the C=10 grid
+    axis): TPU loop fusions vectorize over the minor-most dim, so [.., 10]
+    tails would waste ~92% of the vector lanes. The two routing stages are
+    each ~R sweeps of a [B, Q, R, P]-implicit tensor — ~(R+C)/P of the
+    all-pairs backward's element count."""
+    pts, onroad, rd2, cd2, E, D = res
+    B, Q, P = onroad.shape
+    R = rd2.shape[-1]
+    C = cd2.shape[-1]
+    on = onroad.reshape(B, Q, R, C)
+    Df = D.reshape(B, Q, P)
+    d = jnp.sqrt(Df + 1e-12)
+    # per-target cotangent / distance; targets with no on-road source have
+    # D = BIG and upstream g = 0 (MapCollisionLoss masks them)
+    a = g / d  # [B, Q, P]
     px = pts[..., 0]
-    py = pts[..., 1]
+    py = pts[..., 1]  # [B, Q, P]
 
-    def route(ch):  # [B, Q, J] -> [B, Q, P]
-        t = oR * ch[:, :, None, :]
-        s = jnp.einsum("bqrj,bqcj->bqrc", t, oC)
-        return s.reshape(ch.shape[:2] + (R * C,))
+    # ---- stage-2 routing: target j = (r, c) -> source row rp ----
+    # candidate sums recomputed BITWISE (same operands, same add as the
+    # forward), flattened over j with the source-row axis at position 2
+    rd2_t = jnp.broadcast_to(rd2[:, :, :, None], (B, R, R, C)).reshape(B, R, P)
+    E_t = jnp.broadcast_to(
+        E[:, :, :, None, :], (B, Q, R, R, C)
+    ).reshape(B, Q, R, P)
+    eqR = (rd2_t[:, None] + E_t) == Df[:, :, None, :]  # [B, Q, R(rp), P(j)]
+    cntR = jnp.sum(eqR, axis=2)  # [B, Q, P]; >= 1 (D is the min of these)
+    w = a / cntR
 
-    s_a = route(a)
-    s_ax = route(a * px)
-    s_ay = route(a * py)
+    def row_route(v):  # [B, Q, P] -> [B, Q, R(rp), C] (sum over target r)
+        t = jnp.where(eqR, v[:, :, None, :], 0.0)
+        return jnp.sum(t.reshape(B, Q, R, R, C), axis=3)
+
+    b1 = row_route(w)
+    b1x = row_route(w * px)
+    b1y = row_route(w * py)
+
+    # ---- stage-1 routing: per source row rp, target c -> source col cp ----
+    # flat axis k = (rp, c) of size R*C; equality against E is arithmetic-
+    # free (E is bitwise one of the cd2 values, or BIG which cd2 never hits)
+    on_f = jnp.broadcast_to(
+        jnp.swapaxes(on, 2, 3)[..., None], (B, Q, C, R, C)
+    ).reshape(B, Q, C, R * C)
+    cd2_f = jnp.broadcast_to(cd2[:, :, None, :], (B, C, R, C)).reshape(B, C, R * C)
+    E_f = E.reshape(B, Q, 1, R * C)
+    eqC = on_f & (cd2_f[:, None] == E_f)  # [B, Q, C'(cp), RC]
+    cntC = jnp.sum(eqC, axis=2)  # [B, Q, RC]
+    inv = 1.0 / jnp.maximum(cntC, 1.0)  # 0-count rows route nothing below
+
+    def col_route(bv):  # [B, Q, R, C] -> [B, Q, C'(cp), R] (sum over c)
+        t = jnp.where(eqC, bv.reshape(B, Q, 1, R * C) * inv[:, :, None, :], 0.0)
+        return jnp.sum(t.reshape(B, Q, C, R, C), axis=-1)
+
+    s_a = col_route(b1)
+    s_ax = col_route(b1x)
+    s_ay = col_route(b1y)
+    tr = lambda s: jnp.swapaxes(s, 2, 3).reshape(B, Q, P)  # -> i = (rp, cp)
+    s_a, s_ax, s_ay = tr(s_a), tr(s_ax), tr(s_ay)
     gx = px * s_a - s_ax
     gy = py * s_a - s_ay
     return jnp.stack([gx, gy], axis=-1), None, None, None
@@ -627,17 +718,25 @@ class MapCollisionLoss:
         P = self.num_points_lw[0] * self.num_points_lw[1]
         lwise = np.linspace(-0.5, 0.5, self.num_points_lw[0])
         wwise = np.linspace(-0.5, 0.5, self.num_points_lw[1])
-        local = jnp.asarray(
-            np.stack(np.meshgrid(lwise, wwise, indexing="ij"), -1).reshape(-1, 2),
-            dtype=jnp.float32,
-        )  # [P, 2]
 
         pos = x[..., :2]  # [B, N, T, 2]
         yaw = x[..., 3]
         lw = ctx.extent[:, :2]
         diag_len = jnp.sqrt(jnp.sum(lw * lw, axis=-1))  # [B]
 
-        pts = local[None] * lw[:, None, :]  # [B, P, 2]
+        # extent-scaled bbox points: prepacked (hoisted out of the sampling
+        # scan, see prepack_map_bbox) or recomputed when absent/mismatched
+        if ctx.bbox_pts is not None and ctx.bbox_pts.shape[1] == P:
+            pts = ctx.bbox_pts  # [B, P, 2]
+        else:
+            pts = bbox_local_grid(self.num_points_lw)[None] * lw[:, None, :]
+
+        def pairwise_d2():
+            if ctx.bbox_d2 is not None and ctx.bbox_d2.shape[-1] == P:
+                return ctx.bbox_d2  # [B, P, P]
+            return jnp.sum(
+                (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
+            )
         c, s = jnp.cos(yaw)[..., None], jnp.sin(yaw)[..., None]  # [B, N, T, 1]
         px = pts[:, None, None, :, 0]
         py = pts[:, None, None, :, 1]
@@ -727,9 +826,7 @@ class MapCollisionLoss:
             # Full-horizon pallas path: no chunk scan — the distance cache
             # and backward routing are VMEM-resident, so there is nothing
             # pairwise to bound in HBM.
-            d2_local = jnp.sum(
-                (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
-            )  # [B, P, P]
+            d2_local = pairwise_d2()  # [B, P, P]
             interp = jax.default_backend() != "tpu"
             min_dist = _min_dist_rigid_pallas(
                 agt_pts.reshape(B, N * T, P, 2), d2_local,
@@ -757,9 +854,7 @@ class MapCollisionLoss:
                 # the chunk scan's pad/transpose plumbing is worth
                 # ~1.3 ms/denoise-step at B=128 (measured on v5e,
                 # scripts/guided_breakdown.py map vs map_full)
-                d2_local = jnp.sum(
-                    (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
-                )
+                d2_local = pairwise_d2()
                 if self.min_fwd_impl == "fused":
                     # fused pallas forward: no [B, Q, P, P] HBM transient
                     min_dist = _min_dist_rigid_fused(
@@ -801,9 +896,7 @@ class MapCollisionLoss:
                     f"CLD_GUIDE_FULL_ELEMS={_FULL_HORIZON_BUDGET}); raise the "
                     "budget or use the default forward"
                 )
-            d2_local = jnp.sum(
-                (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
-            ).reshape(1, B, 1, P, P)
+            d2_local = pairwise_d2().reshape(1, B, 1, P, P)
 
             def min_dist_fn(pts_k, off_k):
                 return _min_dist_rigid(pts_k, d2_local, ~off_k)

@@ -47,6 +47,7 @@ indexing of a middle axis becomes an unsupported >2-D gather.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -55,6 +56,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _GATES = ("i", "f", "g", "o")  # flax OptimizedLSTMCell concat order
+
+# in-kernel time-loop unrolling: the cell math is latency-bound (52
+# sequential [BB, 4H] steps whose matmuls are far below MXU saturation),
+# so amortizing loop-management overhead across k steps is mostly free
+# throughput; numerics are unchanged (same ops, same order). Mosaic's
+# fori_loop only supports full/no unroll, so the kernels unroll MANUALLY:
+# a python loop of k cell steps inside the fori body, k the largest
+# divisor of T up to this knob (T=52 -> 4).
+_UNROLL = int(os.environ.get("CLD_LSTM_UNROLL", 4))
+
+
+def _unroll_k(T: int) -> int:
+    k = 1
+    for d in range(1, min(_UNROLL, T) + 1):
+        if T % d == 0:
+            k = d
+    return k
 
 
 class LSTMDecodeParams(NamedTuple):
@@ -161,7 +179,7 @@ def _fwd_kernel(xg1_ref, h0_ref, wh1_ref, w2_ref, b2_ref, y_ref, h1_ref, c1_ref,
     b2 = b2_ref[...].astype(f32)  # [1, 4H]
     h0 = h0_ref[...].astype(f32)
 
-    def step(t, carry):
+    def cell(t, carry):
         h1, c1, h2, c2 = carry
         pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + mm(h1, wh1)
         i1, f1, g1, o1 = _gate_act(pre1, H)
@@ -179,8 +197,16 @@ def _fwd_kernel(xg1_ref, h0_ref, wh1_ref, w2_ref, b2_ref, y_ref, h1_ref, c1_ref,
         c2_ref[pl.ds(t, 1)] = jnp.reshape(c2n.astype(dt), (1, BB, H))
         return h1n, c1n, h2n, c2n
 
+    k = _unroll_k(T)
+
+    def step(tb, carry):
+        t0 = tb * k
+        for i in range(k):  # manual unroll (see _UNROLL note)
+            carry = cell(t0 + i, carry)
+        return carry
+
     z0 = jnp.zeros_like(h0)
-    jax.lax.fori_loop(0, T, step, (h0, z0, h0, z0))
+    jax.lax.fori_loop(0, T // k, step, (h0, z0, h0, z0))
 
 
 def _bwd_kernel(
@@ -206,8 +232,7 @@ def _bwd_kernel(
     def load(ref, t):
         return jnp.reshape(ref[pl.ds(t, 1)], ref.shape[1:]).astype(f32)
 
-    def step(k, carry):
-        t = T - 1 - k
+    def cell(t, carry):
         dh1c, dc1c, dh2c, dc2c = carry
         tprev = jnp.maximum(t - 1, 0)
         first = t == 0
@@ -265,17 +290,33 @@ def _bwd_kernel(
             dc2 * f2,
         )
 
-    jax.lax.fori_loop(0, T, step, (zero, zero, zero, zero))
+    k = _unroll_k(T)
+
+    def step(kb, carry):
+        t0 = T - 1 - kb * k
+        for i in range(k):  # manual unroll (see _UNROLL note)
+            carry = cell(t0 - i, carry)
+        return carry
+
+    jax.lax.fori_loop(0, T // k, step, (zero, zero, zero, zero))
 
 
 def _pick_bb(B: int, T: int, H: int, itemsize: int, bwd: bool) -> int:
-    """Largest power-of-two batch block whose VMEM footprint fits ~5 MB of
-    single-buffered block bytes (Mosaic double-buffers grid blocks, so the
-    resident footprint is ~2x this; the 16 MB scoped-stack limit then keeps
-    ~6 MB of headroom for in-kernel temporaries). Forward holds xg1
+    """Largest power-of-two batch block whose VMEM footprint fits the block
+    budget (CLD_LSTM_VMEM_MB of single-buffered block bytes; Mosaic
+    double-buffers streamed grid blocks, and the 16 MB scoped-stack limit
+    must also keep headroom for in-kernel temporaries). Forward holds xg1
     [T, bb, 4H] + 4 state seqs; backward additionally holds dy and the two
-    [T, bb, 4H] dgates outputs."""
-    budget = 5 << 20
+    [T, bb, 4H] dgates outputs.
+
+    The sweep inside each program is SEQUENTIAL and grid programs run
+    sequentially on the one TensorCore, so a larger bb directly divides the
+    number of latency-bound cell steps (the matmuls are far below MXU
+    saturation at these widths — wider M is nearly free). Measured on v5e
+    at bench scale (B=128, T=52, H=64, bf16): budget 7 MB -> fwd grid=1,
+    bwd grid=2 — the guided-step decode VJP dropped ~35% vs the old 5 MB
+    sizing (fwd grid=2 / bwd grid=4)."""
+    budget = int(float(os.environ.get("CLD_LSTM_VMEM_MB", 7)) * (1 << 20))
     per_b = T * (4 * H + 4 * H) * itemsize  # xg1 + seqs
     if bwd:
         per_b += T * (H + 8 * H) * itemsize  # dy + dgates1 + dgates2

@@ -33,7 +33,7 @@ N_STEPS = 100
 
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "rigid"
-    from bench import build_flagship
+    from bench import DECODE_IMPL, build_flagship
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.algos.reward import compute_reward
     from cld_tpu.data.batch import get_current_states
@@ -44,7 +44,7 @@ def main():
         MapCollisionLoss,
     )
     from cld_tpu.guidance.perturbation import GuidanceSpec, make_perturbation_guidance
-    from cld_tpu.models.vae import convert_action_to_state_and_action
+    from cld_tpu.models.vae import convert_action_to_state_and_action, decode_actions
     from cld_tpu.ops.dynamics import UnicycleParams
     from cld_tpu.ops.geometry import world_from_agent_matrix
     from cld_tpu.ops.normalization import TrajNormalizer
@@ -183,8 +183,13 @@ def main():
             curr = get_current_states(batch)
 
             def decode_fn(z):
-                acts = dm_trainer.vae.apply(
-                    dm_trainer.vae_variables, z, aux["cond_feat"], method="decode"
+                # decode_actions with the BENCH routing (fused pallas LSTM on
+                # TPU under "auto") — the flax method="decode" path this used
+                # to call has a ~2x slower VJP and misattributed ~0.29 ms/step
+                # of decode cost in the round-2/3 breakdowns
+                acts = decode_actions(
+                    dm_trainer.vae, dm_trainer.vae_variables, z, aux["cond_feat"],
+                    impl=DECODE_IMPL,
                 )
                 traj = convert_action_to_state_and_action(
                     acts, curr, dyn, normalizer, descaled_output=True

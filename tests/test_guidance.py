@@ -193,6 +193,33 @@ def test_map_collision_prepacked_matches_jnp():
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_jnp), rtol=1e-5, atol=1e-7)
 
 
+def test_map_collision_bbox_prepack_matches_recompute():
+    """prepack_map_bbox hoists the bbox point grid + [B, P, P] distance
+    cache out of the sampling scan; the loss must produce identical values
+    and gradients with and without the prepacked fields, and fall back to
+    recomputing when P disagrees with the loss's num_points_lw."""
+    from cld_tpu.guidance.losses import prepack_map_bbox
+
+    ctx = make_ctx()
+    ctx_pre = prepack_map_bbox(ctx)
+    assert ctx_pre.bbox_pts.shape[1] == 100 and ctx_pre.bbox_d2.shape[-1] == 100
+    # idempotent
+    assert prepack_map_bbox(ctx_pre).bbox_pts is ctx_pre.bbox_pts
+    x = straight_traj(y_off=6.9)
+    for impl in ("rigid", "separable", "pairwise"):
+        loss = MapCollisionLoss(min_dist_impl=impl)
+        l0 = loss(x, ctx)
+        l1 = loss(x, ctx_pre)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-6)
+    g0 = jax.grad(lambda v: MapCollisionLoss()(v, ctx).sum())(x)
+    g1 = jax.grad(lambda v: MapCollisionLoss()(v, ctx_pre).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6, atol=1e-8)
+    # P mismatch -> silently recomputes with the loss's own grid
+    l_mis = MapCollisionLoss(num_points_lw=(6, 5))(x, ctx_pre)
+    l_ref = MapCollisionLoss(num_points_lw=(6, 5))(x, ctx)
+    np.testing.assert_allclose(np.asarray(l_mis), np.asarray(l_ref), rtol=1e-6)
+
+
 def test_make_perturbation_guidance_prepacks_on_tpu_only():
     """The guidance choke point pre-packs the drivable map exactly when the
     pallas bit-gather will consume it (TPU backend); on CPU it is a no-op,
@@ -563,6 +590,74 @@ def test_map_collision_custom_vjp_matches_bruteforce():
     g_naive = jax.grad(lambda p: jnp.sum(naive(p) * w))(pts)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_naive),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_min_dist_separable_matches_rigid():
+    """The separable exact-EDT kernel produces the same distances as the
+    all-pairs rigid kernel, and the factored equality backward matches the
+    rigid tie-splitting backward away from exact ties (random masks)."""
+    from cld_tpu.guidance.losses import _min_dist_rigid, _min_dist_separable
+
+    rng = np.random.default_rng(3)
+    B, Q, R, C = 4, 6, 5, 7
+    P = R * C
+    lw = jnp.asarray(rng.uniform(1.5, 4.5, (B, 2)), jnp.float32)
+    # IRREGULAR strictly-monotone grid coordinates: the kernels only need
+    # the product-grid structure, and generic spacing removes exact
+    # distance ties — on a REGULAR grid the two formulations round tied
+    # candidates differently ((dl*L)^2+(dw*W)^2 vs dl^2*L^2 + dw^2*W^2),
+    # so one sees a tie the other misses and the split gradients diverge
+    # by design (the in-loss test below covers that case via cosine)
+    li = jnp.asarray(np.sort(rng.uniform(-0.5, 0.5, R)), jnp.float32)
+    wi = jnp.asarray(np.sort(rng.uniform(-0.5, 0.5, C)), jnp.float32)
+    rd2 = ((li[:, None] - li[None]) ** 2)[None] * (lw[:, 0] ** 2)[:, None, None]
+    cd2 = ((wi[:, None] - wi[None]) ** 2)[None] * (lw[:, 1] ** 2)[:, None, None]
+    grid = jnp.stack(jnp.meshgrid(li, wi, indexing="ij"), -1).reshape(P, 2)
+    pts_local = grid[None] * lw[:, None, :]  # [B, P, 2]
+    d2_local = jnp.sum(
+        (pts_local[:, :, None] - pts_local[:, None, :]) ** 2, -1
+    )
+    # random poses -> pts; random onroad incl. an all-offroad row
+    ang = rng.uniform(0, 2 * np.pi, (B, Q))
+    ca, sa = np.cos(ang), np.sin(ang)
+    rot = jnp.asarray(np.stack([ca, sa, -sa, ca], -1).reshape(B, Q, 2, 2),
+                      jnp.float32)
+    pts = jnp.einsum("bpc,bqcd->bqpd", pts_local, rot)
+    onroad = jnp.asarray(rng.random((B, Q, P)) > 0.35)
+    onroad = onroad.at[1, 2].set(False)  # one all-offroad (q) block
+
+    d_rig = _min_dist_rigid(pts, d2_local[:, None], onroad)
+    d_sep = _min_dist_separable(pts, onroad, rd2, cd2)
+    np.testing.assert_allclose(
+        np.asarray(d_sep), np.asarray(d_rig), rtol=1e-5, atol=1e-5
+    )
+    # cotangents only at OFF-road columns of rows with an on-road partner —
+    # exactly how MapCollisionLoss consumes the kernel (an on-road column
+    # has distance 0 to itself, so g/d would amplify ulp-level value
+    # differences between the two formulations into visible noise)
+    g = jnp.asarray(rng.normal(0, 1, (B, Q, P)), jnp.float32)
+    g = jnp.where(jnp.any(onroad, axis=-1, keepdims=True) & ~onroad, g, 0.0)
+    gr = jax.grad(lambda p: jnp.sum(_min_dist_rigid(p, d2_local[:, None], onroad) * g))(pts)
+    gs = jax.grad(lambda p: jnp.sum(_min_dist_separable(p, onroad, rd2, cd2) * g))(pts)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gr), rtol=1e-3, atol=1e-4)
+
+
+def test_map_collision_separable_matches_rigid_in_loss():
+    """MapCollisionLoss(min_dist_impl='separable') equals the rigid default
+    (values) on the standard scenario, with aligned gradients."""
+    ctx = make_ctx()
+    x = straight_traj(y_off=6.9)
+    l_rig = MapCollisionLoss(min_dist_impl="rigid")(x, ctx)
+    l_sep = MapCollisionLoss(min_dist_impl="separable")(x, ctx)
+    np.testing.assert_allclose(np.asarray(l_sep), np.asarray(l_rig),
+                               rtol=1e-5, atol=1e-6)
+    g_rig = jax.grad(lambda v: MapCollisionLoss(min_dist_impl="rigid")(v, ctx).sum())(x)
+    g_sep = jax.grad(lambda v: MapCollisionLoss(min_dist_impl="separable")(v, ctx).sum())(x)
+    # the regular grid hits exact ties where the two kernels split
+    # differently (joint-even vs per-stage-even), so compare by cosine
+    num = float(jnp.sum(g_rig * g_sep))
+    den = float(jnp.linalg.norm(g_rig) * jnp.linalg.norm(g_sep))
+    assert den > 0 and num / den > 0.999
 
 
 def test_choose_closest_to_gt():
