@@ -686,15 +686,17 @@ class MapCollisionLoss:
     # one-hot matmul) / "pallas_px" (unpacked int8 one-hot matmul)
     gather_impl: str = "auto"
     # min-distance kernel (all numerically equivalent):
-    #   "rigid"       pose-invariant P x P distance cache hoisted out of the
-    #                 sampling loop + analytic argmin backward — the default
-    #                 (fastest measured on TPU v5e);
     #   "separable"   exact two-pass EDT over the regular bbox grid,
-    #                 O(P*(R+C)) — algorithmically lighter but its
-    #                 take_along_axis/argmin chain lowers worse on TPU;
+    #                 O(P*(R+C)) — the default. Measured on v5e at bench
+    #                 scale (B=128, N=1, T=52, P=100): map guidance adds
+    #                 +0.37 ms/denoise-step vs +~0.6 ms for "rigid"
+    #                 (guided agent+map pipeline 185.8k vs 131.9k NFE/s,
+    #                 scripts/guided_breakdown.py r3);
+    #   "rigid"       pose-invariant P x P distance cache hoisted out of the
+    #                 sampling loop + analytic argmin backward;
     #   "rigid_pallas" fully VMEM-resident pallas fwd/bwd of "rigid";
     #   "pairwise"    direct P x P distances (checkpointed)
-    min_dist_impl: str = "rigid"
+    min_dist_impl: str = "separable"
     # forward of the full-horizon "rigid" masked min: "jnp" (XLA fuses the
     # [B, Q, P, P] broadcast into the min/argmin reduces — measured fastest
     # on v5e, 0.90 vs 1.16 ms/step for the pallas kernel at bench scale,

@@ -303,7 +303,7 @@ def _bwd_kernel(
 
 def _pick_bb(B: int, T: int, H: int, itemsize: int, bwd: bool) -> int:
     """Largest power-of-two batch block whose VMEM footprint fits the block
-    budget (CLD_LSTM_VMEM_MB of single-buffered block bytes; Mosaic
+    budget (CLD_LSTM_VMEM_MB_{FWD,BWD} of single-buffered block bytes; Mosaic
     double-buffers streamed grid blocks, and the 16 MB scoped-stack limit
     must also keep headroom for in-kernel temporaries). Forward holds xg1
     [T, bb, 4H] + 4 state seqs; backward additionally holds dy and the two
@@ -313,10 +313,12 @@ def _pick_bb(B: int, T: int, H: int, itemsize: int, bwd: bool) -> int:
     sequentially on the one TensorCore, so a larger bb directly divides the
     number of latency-bound cell steps (the matmuls are far below MXU
     saturation at these widths — wider M is nearly free). Measured on v5e
-    at bench scale (B=128, T=52, H=64, bf16): budget 7 MB -> fwd grid=1,
-    bwd grid=2 — the guided-step decode VJP dropped ~35% vs the old 5 MB
-    sizing (fwd grid=2 / bwd grid=4)."""
-    budget = int(float(os.environ.get("CLD_LSTM_VMEM_MB", 7)) * (1 << 20))
+    at bench scale (B=128, T=52, H=64, bf16): fwd at 7 MB -> bb=128,
+    grid=1, 0.088 vs 0.128 ms standalone. The BACKWARD must stay at 5 MB:
+    bb=64 lowers to a 17.88 MB scoped-vmem stack (> the 16 MB limit,
+    Mosaic double-buffers the streamed blocks) and fails to compile."""
+    env = "CLD_LSTM_VMEM_MB_BWD" if bwd else "CLD_LSTM_VMEM_MB_FWD"
+    budget = int(float(os.environ.get(env, 5 if bwd else 7)) * (1 << 20))
     per_b = T * (4 * H + 4 * H) * itemsize  # xg1 + seqs
     if bwd:
         per_b += T * (H + 8 * H) * itemsize  # dy + dgates1 + dgates2

@@ -643,8 +643,8 @@ def test_min_dist_separable_matches_rigid():
 
 
 def test_map_collision_separable_matches_rigid_in_loss():
-    """MapCollisionLoss(min_dist_impl='separable') equals the rigid default
-    (values) on the standard scenario, with aligned gradients."""
+    """MapCollisionLoss(min_dist_impl='separable', the default) equals the
+    rigid path (values) on the standard scenario, with aligned gradients."""
     ctx = make_ctx()
     x = straight_traj(y_off=6.9)
     l_rig = MapCollisionLoss(min_dist_impl="rigid")(x, ctx)
