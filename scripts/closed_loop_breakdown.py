@@ -23,7 +23,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-CL_SCENES, CL_AGENTS, CL_STEPS = 4, 8, 100
+CL_SCENES = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+CL_AGENTS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+CL_STEPS = 100
 
 
 def main():
@@ -136,7 +138,7 @@ def main():
     orig_warp = sim_env.warp_scene_maps
 
     def const_warp(world_maps, origin, res, w_from_a, scene_index, rs, ps, ec,
-                   fill_value=0.0, impl="auto"):
+                   fill_value=0.0, impl="auto", world_maps_q8=None):
         B = w_from_a.shape[0]
         C = world_maps.shape[-1]
         return jnp.ones((B, rs, rs, C), world_maps.dtype)

@@ -564,6 +564,42 @@ def test_agent_collision_scene_block_matches_flat():
     np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_blk), rtol=1e-4, atol=1e-6)
 
 
+def test_agent_collision_dot_matches_diff():
+    """The Gram-matmul ("dot") pairwise formulation of the scene_block path
+    matches the difference-tensor ("diff") path to float rounding — values
+    AND gradients — including at realistic world offsets where the centered
+    norm expansion must not lose precision."""
+    B, A = 8, 4
+    scene_index = np.repeat(np.arange(B // A, dtype=np.int32), A)
+    ctx = make_ctx(B=B, scene_index=scene_index)
+    # push the scenes ~100 m from the origin (worst case for |p|^2 - 2ab)
+    # while keeping agents of a scene within collision range of each other
+    pos = jnp.asarray(
+        np.stack(
+            [100.0 + 20.0 * scene_index + 1.2 * (np.arange(B) % A),
+             np.full(B, -80.0)],
+            -1,
+        ),
+        jnp.float32,
+    )
+    ctx = ctx._replace(world_from_agent=world_from_agent_matrix(pos, jnp.zeros((B,))))
+    rng = np.random.default_rng(0)
+    x = straight_traj(B=B, N=2, speed=5.0)
+    x = x + jnp.asarray(rng.normal(0, 0.8, x.shape), jnp.float32)
+
+    diff = AgentCollisionLoss(scene_block=A, pairwise_impl="diff")
+    dot = AgentCollisionLoss(scene_block=A, pairwise_impl="dot")
+    v_diff = np.asarray(diff(x, ctx))
+    v_dot = np.asarray(dot(x, ctx))
+    assert v_diff.max() > 0  # collisions actually fire
+    np.testing.assert_allclose(v_dot, v_diff, rtol=2e-4, atol=1e-6)
+    g_diff = jax.grad(lambda v: diff(v, ctx).sum())(x)
+    g_dot = jax.grad(lambda v: dot(v, ctx).sum())(x)
+    np.testing.assert_allclose(
+        np.asarray(g_dot), np.asarray(g_diff), rtol=2e-3, atol=2e-5
+    )
+
+
 def test_map_collision_custom_vjp_matches_bruteforce():
     """The O(P) custom backward of _min_dist_to_onroad routes each column's
     cotangent through its argmin row — gradients must equal the naive
