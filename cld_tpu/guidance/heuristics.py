@@ -175,7 +175,10 @@ def heuristic_global_target_pos(pack, state, horizon_s: float = 10.0,
 
 def heuristic_stop_sign(pack, state, ahead_m: float = 15.0, box_half=(5.0, 3.0),
                         weight: float = 5.0, target_time: int | None = None,
-                        stop_box_dim=None, scale: float = 1.0, dt: float = 0.1,
+                        stop_box_dim=None, scale: float = 20.0, dt: float = 0.1,
+                        num_time_steps_to_stop: int = 3,
+                        low_speed_th: float = 0.5,
+                        horizon_length: int | None = None,
                         **_host_only):
     """Stop region ahead of each agent, agent frame
     (`heuristic_stop_sign`, `scene_edit_utils.py:473-515`). Reference
@@ -198,9 +201,14 @@ def heuristic_stop_sign(pack, state, ahead_m: float = 15.0, box_half=(5.0, 3.0),
         dim = np.tile(np.asarray(stop_box_dim, np.float32), (B, 1))
     else:
         dim = np.tile(np.asarray(box_half, np.float32) * 2.0, (B, 1))
+    kw = {}
+    if horizon_length is not None:
+        kw["horizon_length"] = int(horizon_length)
     return GuidanceSpec(
-        StopSignLoss(stop_box_center=center.astype(np.float32),
-                     stop_box_dim=dim.astype(np.float32), scale=scale),
+        StopSignLoss(stop_sign_pos=center.astype(np.float32),
+                     stop_box_dim=dim.astype(np.float32), scale=scale,
+                     num_time_steps_to_stop=num_time_steps_to_stop,
+                     low_speed_th=low_speed_th, **kw),
         weight,
     )
 
@@ -370,7 +378,7 @@ def heuristic_global_stop_sign(pack, state, ahead_m: float = 15.0,
                                num_time_steps_to_stop: int = 3,
                                low_speed_th: float = 0.5,
                                target_time: int | None = None,
-                               stop_box_dim=None, scale: float = 1.0,
+                               stop_box_dim=None, scale: float = 20.0,
                                horizon_length: int | None = None,
                                action_num: int | None = None,
                                dt: float = 0.1) -> GuidanceSpec:
@@ -552,8 +560,9 @@ _REF_DROP_PARAMS = {
     "global_target_pos": ("action_num", "target_tolerance"),
     "global_target_pos_at_time": ("action_num",),
     "global_stop_sign": (),
-    "stop_sign": ("horizon_length", "num_time_steps_to_stop", "action_num",
-                  "low_speed_th"),
+    # action_num only feeds the global variant's cross-replan latch; the
+    # local rule has no latch (reference passes already_stopped=zeros)
+    "stop_sign": ("action_num",),
     "speed_limit": (),
     "target_speed": (),
     "gptcollision": (),

@@ -1131,65 +1131,141 @@ class GlobalTargetPosAtTimeLoss:
         return loss
 
 
+_STL_BIG = 1e6
+
+
+def _stl_minish(r, axis, scale):
+    """stlcg-convention soft min: scale > 0 -> -logsumexp(-scale*r)/scale
+    (larger scale = harder; "positive values closer to 0 give more uniform
+    gradients", `guidance_loss.py:1229` comment), scale <= 0 -> hard min
+    (`stl_traffic_rules.py:163` get_robustness default scale=-1)."""
+    if scale > 0:
+        return -jax.nn.logsumexp(-scale * r, axis=axis) / scale
+    return jnp.min(r, axis=axis)
+
+
+def _stl_maxish(r, axis, scale):
+    if scale > 0:
+        return jax.nn.logsumexp(scale * r, axis=axis) / scale
+    return jnp.max(r, axis=axis)
+
+
+def _stop_sign_robustness(
+    pos, speed, center, half, *, scale, horizon_length, time_step_to_start,
+    num_time_steps_to_stop, low_speed_th,
+):
+    """Robustness of the reference stop-sign STL formula
+    (`stl_traffic_rules.py:74-125` set_stl_rules, use_until=False — the
+    module-level default at `guidance_loss.py:1212`):
+
+        Always(Implies(in_box, Eventually_[t0,H](Always_[0,k](in & slow))))
+        Or (out_box And middle_speed)            # evaluated at trace start
+
+    consumed at trace start (`get_robustness` returns the t=0 robustness).
+    Consequences worth noting: a vehicle currently OUTSIDE the box at
+    above-threshold speed satisfies the second disjunct, so robustness is
+    positive and `relu(-rob)` gives zero loss AND zero gradient — the rule
+    only shapes trajectories once the vehicle is in (or entering) the box.
+
+    Semantics notes vs stlcg (not vendored by the reference, so matched at
+    the level of its documented conventions): And/Or/Always/Eventually are
+    soft min/max at temperature `scale` (hard at scale <= 0, stlcg's
+    default); bounded Always windows truncate at the trace end (stlcg's
+    recurrent cells initialize with +LARGE, so partial end windows reduce
+    over the available frames); Always_[0,k] spans k+1 frames (inclusive
+    interval).
+
+    pos [B, N, T, 2] trajectory positions in the SAME frame as `center`;
+    speed [B, N, T] signed scalar velocity; center/half [B, 2].
+    """
+    T = pos.shape[-2]
+    # in-box: And of the four one-sided bound predicates
+    # ((px >= x_min) & (px <= x_max) & ..., `stl_traffic_rules.py:87-89`)
+    lo_m = pos - (center - half)[:, None, None]  # [B, N, T, 2]
+    hi_m = (center + half)[:, None, None] - pos
+    inside_r = _stl_minish(
+        jnp.concatenate([lo_m, hi_m], axis=-1), -1, scale
+    )  # [B, N, T]
+    # low_speed = (v >= -th) & (v <= th); middle_speed = Not(low_speed)
+    low_r = _stl_minish(
+        jnp.stack([speed + low_speed_th, low_speed_th - speed], -1), -1, scale
+    )
+    both = _stl_minish(jnp.stack([inside_r, low_r], -1), -1, scale)
+
+    # Always_[0,k](in & slow): k+1-frame windows, truncated at the end
+    kk = min(num_time_steps_to_stop + 1, T)
+    pad = jnp.full(both.shape[:-1] + (kk - 1,), _STL_BIG, both.dtype)
+    both_p = jnp.concatenate([both, pad], axis=-1)
+    win_r = _stl_minish(
+        jnp.stack([both_p[..., i : T + i] for i in range(kk)], -1), -1, scale
+    )  # [B, N, T] window start s
+
+    # Eventually_[t0,H] per anchor t: max over s in [t+t0, t+H] (clipped)
+    t_idx = jnp.arange(T)[:, None]  # anchor t
+    s_idx = jnp.arange(T)[None, :]  # window start s
+    valid = (s_idx >= t_idx + time_step_to_start) & (
+        s_idx <= t_idx + horizon_length
+    )  # [T, T]
+    masked = jnp.where(valid, win_r[..., None, :], -_STL_BIG)
+    ev_r = _stl_maxish(masked, -1, scale)  # [B, N, T] per anchor t
+
+    # Always(Implies(in_box, stop)): Implies = Or(Not(in), stop)
+    imp = _stl_maxish(jnp.stack([-inside_r, ev_r], -1), -1, scale)
+    a_term = _stl_minish(imp, -1, scale)  # [B, N]
+    # out_box & middle_speed at trace start
+    b_term = _stl_minish(
+        jnp.stack([-inside_r[..., 0], -low_r[..., 0]], -1), -1, scale
+    )
+    return _stl_maxish(jnp.stack([a_term, b_term], -1), -1, scale)
+
+
 @dataclasses.dataclass(frozen=True)
 class GlobalStopSignLoss:
     """World-frame stop-sign rule (`guidance_loss.py:1318-1442`): vehicles
-    must hold `num_time_steps_to_stop` consecutive low-speed steps inside the
-    stop box. Robustness is the native soft-STL form of
-    F(G_[k](inside AND slow)) over the plan window (cld_tpu.rules.stl
-    semantics, replacing the reference's stlcg dependency); loss =
-    relu(-robustness).
+    entering the stop box must hold low speed for `num_time_steps_to_stop`
+    steps inside it. Loss = -clip(robustness, max=0) of the reference STL
+    formula (see `_stop_sign_robustness`), masked by the already-stopped
+    latch.
 
-    The reference latches `already_stopped` across rollout steps: set after
-    k consecutive low-speed in-box frames, released only when the vehicle
-    EXITS the box (`guidance_loss.py:1415-1422`). Here the latch is
-    re-derived statelessly each call from the FULL `ctx.agent_hist_world`
-    window: a run of k consecutive low-speed frames strictly after the last
-    out-of-box frame latches it, which matches the reference exactly while
-    the stop event stays inside the history window (hist_frames+1 frames,
-    ~3 s at the config of record). Divergence window: a vehicle that
-    stopped, then crept inside the box for LONGER than the history length
-    is re-penalized here but stays latched in the reference.
+    The reference latches `already_stopped` across rollout steps
+    (`guidance_loss.py:1372-1420`): at each replan it counts low-speed
+    in-box frames among the last `action_num` history frames — latched when
+    the count reaches `num_time_steps_to_stop` (not necessarily
+    consecutive), released when the newest frame is outside the box. Here
+    the latch is re-derived statelessly each call from the FULL
+    `ctx.agent_hist_world` window: latched iff some `action_num`-frame
+    window ending at frame j has count >= k and the vehicle stays in-box
+    from j to the present (box exit = release). This matches the reference
+    while the stop event is inside the history window (hist_frames+1
+    frames, ~3 s at the config of record) and treats every frame as a
+    potential replan boundary (the reference only checks every
+    `action_num` frames). Divergence window: a vehicle that stopped, then
+    stayed inside the box for LONGER than the history length is
+    re-penalized here but stays latched in the reference.
     """
 
     stop_sign_pos: np.ndarray  # [B, 2] world-frame box centers
     stop_box_dim: np.ndarray  # [B, 2] full box dims (w, h)
-    scale: float = 1.0  # soft-min/max temperature = 1/scale
+    # stlcg smoothing: soft min/max temperature, hard at <= 0; 20 is the
+    # reference's example config value (scene_edit_config.py:285)
+    scale: float = 20.0
     horizon_length: int = 52
     time_step_to_start: int = 0
     num_time_steps_to_stop: int = 3
     action_num: int = 5
     low_speed_th: float = 0.5
 
-    def _softmin(self, r, axis=-1):
-        temp = 1.0 / max(self.scale, 1e-3)
-        return -jax.nn.logsumexp(-temp * r, axis=axis) / temp
-
-    def _softmax(self, r, axis=-1):
-        temp = 1.0 / max(self.scale, 1e-3)
-        return jax.nn.logsumexp(temp * r, axis=axis) / temp
-
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
-        B, N, T, _ = x.shape
         center = jnp.asarray(self.stop_sign_pos, jnp.float32)
         half = jnp.asarray(self.stop_box_dim, jnp.float32) / 2.0
         pos_w, _ = _to_world(x, ctx.world_from_agent)  # [B, N, T, 2]
-        speed = jnp.abs(x[..., 2])
-
-        margins = half[:, None, None] - jnp.abs(pos_w - center[:, None, None])
-        inside_r = self._softmin(margins, axis=-1)  # [B, N, T]
-        slow_r = self.low_speed_th - speed
-        both = self._softmin(jnp.stack([inside_r, slow_r], axis=-1), axis=-1)
-
-        # G over k consecutive steps, then F over window starts in the
-        # [time_step_to_start, horizon_length) range
-        k = min(self.num_time_steps_to_stop, T)
-        windows = jnp.stack([both[..., i : T - k + 1 + i] for i in range(k)], axis=-1)
-        win_r = self._softmin(windows, axis=-1)  # [B, N, W]
-        W = win_r.shape[-1]
-        lo = min(self.time_step_to_start, W - 1)
-        hi = max(min(lo + self.horizon_length, W), lo + 1)
-        robustness = self._softmax(win_r[..., lo:hi], axis=-1)  # [B, N]
+        robustness = _stop_sign_robustness(
+            pos_w, x[..., 2], center, half, scale=self.scale,
+            horizon_length=self.horizon_length,
+            time_step_to_start=self.time_step_to_start,
+            num_time_steps_to_stop=self.num_time_steps_to_stop,
+            low_speed_th=self.low_speed_th,
+        )
         loss = jax.nn.relu(-robustness)
 
         if ctx.agent_hist_world is not None:
@@ -1199,18 +1275,28 @@ class GlobalStopSignLoss:
                 jnp.abs(hist[..., :2] - center[:, None]) <= half[:, None], axis=-1
             )  # [B, Th]
             low = jnp.abs(hist[..., 2]) < self.low_speed_th
-            # frames strictly after the last out-of-box frame: the latch
-            # only survives while the vehicle has stayed in the box since
-            # stopping (the reference releases it at box exit)
+            # frames from the last out-of-box frame onward: the latch only
+            # survives while the vehicle has stayed in the box since
+            # stopping (the reference releases it at box exit,
+            # `guidance_loss.py:1419-1420` outside_mask)
             since_exit = jnp.flip(
                 jnp.cumprod(jnp.flip(in_box, -1), -1), -1
             ).astype(bool)  # [B, Th] suffix all-in-box
-            ok = low & since_exit
-            kk = min(self.num_time_steps_to_stop, Th)
-            runs = jnp.stack(
-                [ok[..., i : Th - kk + 1 + i] for i in range(kk)], axis=-1
-            )
-            already = jnp.any(jnp.all(runs, axis=-1), axis=-1)  # [B]
+            # windowed COUNT of low-speed in-box frames (the reference sums
+            # inclusion & low_speed over the last action_num frames,
+            # `guidance_loss.py:1410` — not a consecutive-run test)
+            ok = (low & in_box).astype(jnp.int32)
+            a = max(1, min(self.action_num, Th))
+            csum0 = jnp.concatenate(
+                [jnp.zeros(ok.shape[:-1] + (1,), jnp.int32), jnp.cumsum(ok, -1)],
+                axis=-1,
+            )  # csum0[..., j] = count of ok among frames < j
+            start = np.maximum(np.arange(Th) - a + 1, 0)  # static [Th]
+            # count over the a-frame window ending at j (partial at the
+            # start of the history window)
+            cnt = csum0[..., 1:] - csum0[..., start]
+            set_j = cnt >= self.num_time_steps_to_stop
+            already = jnp.any(set_j & since_exit, axis=-1)  # [B]
             loss = jnp.where(already[:, None], 0.0, loss)
         return loss
 
@@ -1239,24 +1325,46 @@ class SpeedLimitLoss:
 
 @dataclasses.dataclass(frozen=True)
 class StopSignLoss:
-    """Slow down inside a stop region (`guidance_loss.py:1214-1318`,
-    box-region speed penalty form)."""
+    """Agent-frame stop-sign rule (`guidance_loss.py:1214-1318`): the same
+    STL robustness as GlobalStopSignLoss (`_stop_sign_robustness`), loss =
+    -clip(robustness, max=0), no cross-replan latch (the reference's local
+    variant passes already_stopped=zeros, `guidance_loss.py:1307-1310`).
 
-    stop_box_center: np.ndarray  # [B, 2] agent-frame center
+    Frame note: the reference's local heuristic emits the box center in the
+    AGENT frame (`scene_edit_utils.py:494-497` "convert to local frame")
+    while its loss transforms trajectory positions to WORLD frame under the
+    hardcoded use_global_coord=True (`guidance_loss.py:1299-1301`) — a
+    cross-frame comparison that only works when the two frames coincide.
+    Here both sides stay in the agent frame (the heuristic's intent); the
+    world-frame behavior lives in GlobalStopSignLoss.
+    """
+
+    stop_sign_pos: np.ndarray  # [B, 2] agent-frame box centers
     # [B, 2] FULL box dims (bounds = center +/- dim/2) — the reference's
     # convention for this exact parameter name (stl_traffic_rules.py Box:
     # set_bounds divides by 2), shared with GlobalStopSignLoss so the same
     # config value means the same box for both rules
     stop_box_dim: np.ndarray
-    stop_speed: float = 0.0
-    scale: float = 1.0
+    # stlcg smoothing: soft min/max temperature, hard at <= 0; 20 is the
+    # reference's example config value (scene_edit_config.py:285)
+    scale: float = 20.0
+    horizon_length: int = 52
+    time_step_to_start: int = 0
+    num_time_steps_to_stop: int = 3
+    action_num: int = 5  # config-compat knob; unused by the loss math
+    low_speed_th: float = 0.5
 
     def __call__(self, x, ctx: GuidanceContext, agt_mask=None) -> jnp.ndarray:
-        center = jnp.asarray(self.stop_box_center, jnp.float32)[:, None, None]
-        half = jnp.asarray(self.stop_box_dim, jnp.float32)[:, None, None] / 2.0
-        inside = jnp.all(jnp.abs(x[..., :2] - center) <= half, axis=-1)  # [B, N, T]
-        over = jax.nn.relu(jnp.abs(x[..., 2]) - self.stop_speed)
-        return self.scale * jnp.mean(jnp.where(inside, over, 0.0), axis=-1)
+        center = jnp.asarray(self.stop_sign_pos, jnp.float32)
+        half = jnp.asarray(self.stop_box_dim, jnp.float32) / 2.0
+        robustness = _stop_sign_robustness(
+            x[..., :2], x[..., 2], center, half, scale=self.scale,
+            horizon_length=self.horizon_length,
+            time_step_to_start=self.time_step_to_start,
+            num_time_steps_to_stop=self.num_time_steps_to_stop,
+            low_speed_th=self.low_speed_th,
+        )
+        return jax.nn.relu(-robustness)
 
 
 @dataclasses.dataclass(frozen=True)

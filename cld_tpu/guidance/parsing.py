@@ -52,7 +52,7 @@ _PER_AGENT_PARAMS = {
         "urgency": ((), np.float32),
     },
     "stop_sign": {
-        "stop_box_center": ((2,), np.float32),
+        "stop_sign_pos": ((2,), np.float32),
         "stop_box_dim": ((2,), np.float32),
     },
     "global_stop_sign": {
@@ -63,6 +63,9 @@ _PER_AGENT_PARAMS = {
 
 # reference param aliases -> our dataclass field names
 _PARAM_ALIASES = {
+    # legacy cld_tpu spelling (the reference spells it stop_sign_pos for
+    # the local rule too, `scene_edit_utils.py:500-506`)
+    "stop_sign": {"stop_box_center": "stop_sign_pos"},
     "global_target_pos_at_time": {"target_pos": "target_pos_world"},
     "global_target_pos": {"target_pos": "target_pos_world"},
     "gptcollision": {"target_ind": "attacker_ind", "ref_ind": "victim_ind"},

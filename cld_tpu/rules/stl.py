@@ -24,14 +24,39 @@ def _softmax(x: jnp.ndarray, axis=-1, temp: float = 10.0) -> jnp.ndarray:
     return jax.nn.logsumexp(temp * x, axis=axis) / temp
 
 
-def always(robustness: jnp.ndarray, temp: float = 10.0) -> jnp.ndarray:
-    """G(phi): min over time of the per-step robustness [.., T] -> [..]."""
-    return _softmin(robustness, axis=-1, temp=temp)
+_BIG = 1e6
 
 
-def eventually(robustness: jnp.ndarray, temp: float = 10.0) -> jnp.ndarray:
-    """F(phi): max over time."""
-    return _softmax(robustness, axis=-1, temp=temp)
+def always(robustness: jnp.ndarray, temp: float = 10.0,
+           interval=None) -> jnp.ndarray:
+    """G(phi): min over time of the per-step robustness.
+
+    Unbounded ([.., T] -> [..]) when `interval` is None. With
+    `interval=(a, b)` (inclusive offsets, `stlcg.Always(interval=[a, b])`)
+    the output keeps the time axis: out[t] = min over tau in
+    [t+a, min(t+b, T-1)] — windows truncate at the trace end, matching
+    stlcg's recurrent cells initialized with +LARGE."""
+    if interval is None:
+        return _softmin(robustness, axis=-1, temp=temp)
+    a, b = interval
+    T = robustness.shape[-1]
+    pad = jnp.full(robustness.shape[:-1] + (b,), _BIG, robustness.dtype)
+    r = jnp.concatenate([robustness, pad], axis=-1)
+    win = jnp.stack([r[..., i : T + i] for i in range(a, b + 1)], axis=-1)
+    return _softmin(win, axis=-1, temp=temp)
+
+
+def eventually(robustness: jnp.ndarray, temp: float = 10.0,
+               interval=None) -> jnp.ndarray:
+    """F(phi): max over time (see `always` for interval semantics)."""
+    if interval is None:
+        return _softmax(robustness, axis=-1, temp=temp)
+    a, b = interval
+    T = robustness.shape[-1]
+    pad = jnp.full(robustness.shape[:-1] + (b,), -_BIG, robustness.dtype)
+    r = jnp.concatenate([robustness, pad], axis=-1)
+    win = jnp.stack([r[..., i : T + i] for i in range(a, b + 1)], axis=-1)
+    return _softmax(win, axis=-1, temp=temp)
 
 
 def stl_and(*rs, temp: float = 10.0) -> jnp.ndarray:
@@ -60,13 +85,18 @@ class SpeedLimitRule:
 
 @dataclasses.dataclass(frozen=True)
 class StopSignRule:
-    """F(inside_region AND speed <= stop_speed): the vehicle must eventually
-    be (nearly) stopped inside the stop region
-    (`stl_traffic_rules.py` stop-sign rule)."""
+    """F(G_[0,k](inside_region AND speed <= stop_speed)): the vehicle must
+    eventually hold a (near-)stop for `num_steps_to_stop`+1 consecutive
+    frames inside the stop region (`stl_traffic_rules.py:108-110`,
+    `Eventually(Always(in_stop_box & low_speed, interval=[0, k]))` — the
+    stop core of the reference formula; the full
+    `Always(Implies(...)) | (out & middle_speed)` form lives in
+    `cld_tpu.guidance.losses._stop_sign_robustness`)."""
 
     box_center: tuple = (15.0, 0.0)
     box_half: tuple = (5.0, 3.0)
     stop_speed: float = 0.5
+    num_steps_to_stop: int = 0
     temp: float = 10.0
 
     def robustness(self, traj: jnp.ndarray) -> jnp.ndarray:
@@ -77,7 +107,9 @@ class StopSignRule:
         inside = _softmin(margins, axis=-1, temp=self.temp)  # [.., T]
         slow = self.stop_speed - jnp.abs(traj[..., 2])  # [.., T]
         both = stl_and(inside, slow, temp=self.temp)
-        return eventually(both, temp=self.temp)
+        held = always(both, temp=self.temp,
+                      interval=(0, self.num_steps_to_stop))
+        return eventually(held, temp=self.temp)
 
     def loss(self, traj: jnp.ndarray) -> jnp.ndarray:
         return jax.nn.relu(-self.robustness(traj))

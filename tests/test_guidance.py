@@ -275,14 +275,43 @@ def test_target_pos_losses():
 
 
 def test_stop_sign_loss():
+    """Reference STL semantics (stl_traffic_rules.py:74-125): the rule
+    penalizes trajectories that are in the stop box without stopping, and
+    is INERT (zero loss, zero gradient) for trajectories currently outside
+    the box at speed — the `out_box & middle_speed` disjunct."""
     ctx = make_ctx()
-    x = straight_traj(speed=5.0)
-    # stop box around x in [5, 15] m
-    loss = StopSignLoss(
-        stop_box_center=np.tile([10.0, 0.0], (3, 1)),
-        stop_box_dim=np.tile([5.0, 2.0], (3, 1)),
-    )(x, ctx)
-    assert (np.asarray(loss) > 0).all()  # moving at 5 m/s through the box
+    box = dict(
+        stop_sign_pos=np.tile([10.0, 0.0], (3, 1)).astype(np.float32),
+        stop_box_dim=np.tile([5.0, 2.0], (3, 1)).astype(np.float32),
+    )
+    rule = StopSignLoss(**box)
+
+    # starts INSIDE the box moving at 5 m/s, never stops -> violated
+    inside_fast = straight_traj(speed=5.0)
+    inside_fast = inside_fast.at[..., 0].add(10.0)
+    assert (np.asarray(rule(inside_fast, ctx)) > 0).all()
+
+    # stopped inside the box -> satisfied
+    stopped = jnp.zeros((3, 2, 52, 6)).at[..., 0].set(10.0)
+    assert float(rule(stopped, ctx).max()) < 0.2
+
+    # outside the box at speed -> the disjunct holds: no loss, no gradient
+    away = straight_traj(speed=5.0, y_off=30.0)
+    l_away = rule(away, ctx)
+    np.testing.assert_allclose(np.asarray(l_away), 0.0, atol=1e-6)
+    g = jax.grad(lambda x: rule(x, ctx).sum())(away)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-8)
+
+    # legacy param spelling still parses (alias stop_box_center)
+    from cld_tpu.guidance.parsing import specs_from_configs
+
+    specs = specs_from_configs(
+        [{"name": "stop_sign", "weight": 1.0,
+          "params": {"stop_box_center": [10.0, 0.0],
+                     "stop_box_dim": [5.0, 2.0]}}],
+        num_agents=3,
+    )
+    assert (np.asarray(specs[0].loss(inside_fast, ctx)) > 0).all()
 
 
 def test_compute_guidance_loss_weights_and_masks():
@@ -474,8 +503,9 @@ def test_global_stop_sign_loss():
     box_dim = np.tile([8.0, 6.0], (B, 1)).astype(np.float32)
     rule = GlobalStopSignLoss(stop_sign_pos=box_pos, stop_box_dim=box_dim)
 
-    # speeding through the box -> violated (positive loss)
+    # speeding INSIDE the box, never stopping -> violated (positive loss)
     fast = straight_traj(B=B, N=N, T=T, speed=8.0)
+    fast = fast.at[..., 0].add(10.0)
     l_fast = rule(fast, ctx)
     assert (np.asarray(l_fast) > 0).all()
 
@@ -484,14 +514,27 @@ def test_global_stop_sign_loss():
     l_stop = rule(stopped, ctx)
     assert float(l_stop.max()) < 0.2
 
-    # already_stopped latch from world history: low-speed in-box history
-    # masks the loss even for a speeding plan
+    # outside the box at speed -> the out_box & middle_speed disjunct
+    # holds at trace start: zero loss (guidance_loss.py:1313 semantics)
+    away = straight_traj(B=B, N=N, T=T, speed=8.0, y_off=40.0)
+    np.testing.assert_allclose(np.asarray(rule(away, ctx)), 0.0, atol=1e-6)
+
+    # already_stopped latch from world history: >= k low-speed in-box
+    # frames within an action_num window (COUNT, not consecutive —
+    # guidance_loss.py:1410) masks the loss even for a speeding plan
     hist = np.zeros((B, 6, 4), np.float32)
-    hist[:, :, 0] = 10.0  # in box
+    hist[:, :, 0] = 10.0  # in box throughout
     hist[:, :, 2] = 0.1  # slow
+    hist[:, 2, 2] = 3.0  # one fast frame in the middle: count still >= 3
     ctx_hist = ctx._replace(agent_hist_world=jnp.asarray(hist))
     l_masked = rule(fast, ctx_hist)
     np.testing.assert_allclose(np.asarray(l_masked), 0.0, atol=1e-6)
+
+    # box exit releases the latch (outside_mask, guidance_loss.py:1419)
+    hist_exit = hist.copy()
+    hist_exit[:, -1, 0] = 100.0  # newest frame outside the box
+    ctx_exit = ctx._replace(agent_hist_world=jnp.asarray(hist_exit))
+    assert (np.asarray(rule(fast, ctx_exit)) > 0).all()
 
     # gradients flow (it sits inside the perturbation loop)
     g = jax.grad(lambda x: rule(x, ctx).sum())(fast)
