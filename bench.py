@@ -343,9 +343,15 @@ def bench_open_loop(cfg, dm_trainer, dm_state, batch, guided=True):
                 world_from_agent=world_from_agent_matrix(pos_w, yaw_w),
                 scene_index=scene_index,
             ))
+            # config-of-record opt params (`scene_edit_config.py:73-80`):
+            # adam lr 0.3, 1 grad step, perturb_th None -> clip to the
+            # posterior sigma at step t
             gfn = make_perturbation_guidance(
                 ctx, flagship_guidance_specs(AGENTS_PER_SCENE), decode_fn,
-                lr=0.3, grad_steps=1, perturb_th=1.0,
+                lr=0.3, grad_steps=1, perturb_th=None,
+                sigma_schedule=jnp.exp(
+                    0.5 * dm_trainer.schedule.posterior_log_variance_clipped
+                ),
             )
         out = sample_traj(
             dm_trainer.denoise_fn(dm_state_params), dm_trainer.schedule, samp_rng,
@@ -454,6 +460,7 @@ def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents):
     """Guided closed-loop sim throughput (agent-steps/s): the second
     BASELINE.json north-star metric, on the same flagship guidance."""
     import jax
+    import jax.numpy as jnp
 
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.data.batch import get_current_states
@@ -509,7 +516,10 @@ def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents):
             scene_index=obs.scene_index,
         ))
         gfn = make_perturbation_guidance(
-            ctx, specs, decode_fn, lr=0.3, grad_steps=1, perturb_th=1.0
+            ctx, specs, decode_fn, lr=0.3, grad_steps=1, perturb_th=None,
+            sigma_schedule=jnp.exp(
+                0.5 * dm_trainer.schedule.posterior_log_variance_clipped
+            ),
         )
         out = sample_traj(
             dm_trainer.denoise_fn(dm_state.params), dm_trainer.schedule,

@@ -62,6 +62,7 @@ def sample_traj(
     guidance_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
     guidance_stride: int = 1,
     guidance_clean: bool = False,
+    guidance_output: bool = False,
     unroll: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     """Full ancestral sampling as one lax.scan (`dm_model.py:103-142`).
@@ -81,6 +82,12 @@ def sample_traj(
             instead of the noisy posterior mean, then rebuild the posterior
             mean from the guided x0 (the principled recompute the reference
             applies in its video_diff branch, `diffuser.py:911-913`).
+        guidance_output: perturb the FINAL (t=0) output step too. The
+            reference's config of record leaves this off
+            (`scene_edit_config.py:85` apply_guidance_output=False /
+            `diffuser.py:879-881`: at t==0 guidance applies only when
+            apply_guidance_output) — the last denoise step emits the
+            unperturbed posterior mean of the already-guided chain.
     Returns dict with:
         pred_traj  [B*N, T, D]  final x_0
         x1         [B*N, T, D]  state recorded after the t==1 transition
@@ -114,10 +121,13 @@ def sample_traj(
             return guidance_fn(m, t)
 
         if guidance_fn is not None:
-            if guidance_stride <= 1:
+            apply = (i % guidance_stride == 0) | (i < guidance_stride) \
+                if guidance_stride > 1 else jnp.asarray(True)
+            if not guidance_output:
+                apply = apply & (i != 0)
+            if guidance_stride <= 1 and guidance_output:
                 mean = guided_mean(mean)
             else:
-                apply = (i % guidance_stride == 0) | (i < guidance_stride)
                 mean = jax.lax.cond(apply, guided_mean, lambda m: m, mean)
         sigma = jnp.exp(0.5 * log_var)
         noise = jax.random.normal(step_rng, x.shape, jnp.float32)

@@ -127,17 +127,32 @@ def make_perturbation_guidance(
     ctx: GuidanceContext,
     specs: Sequence[GuidanceSpec],
     decode_fn: Callable[[jnp.ndarray], jnp.ndarray],
-    lr: float = 0.3,
+    lr: Optional[float] = 0.3,
     grad_steps: int = 1,
     perturb_th: Optional[float] = None,
     sigma_schedule: Optional[jnp.ndarray] = None,
+    n_timesteps: Optional[int] = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Build the guidance_fn hook consumed by `cld_tpu.algos.dm.sample_traj`:
     (posterior_mean, t) -> perturbed mean.
 
-    sigma_schedule [n_timesteps]: optional per-step scale for perturb_th (the
-    reference scales the clip threshold by the posterior sigma at step t,
-    `models/diffuser.py:884-905`).
+    Per-step optimization params follow the reference's intermediate-step
+    logic (`models/diffuser.py:884-905` guidance_optimization_params):
+
+    * `perturb_th=None` with a `sigma_schedule` clips the cumulative delta
+      to the posterior sigma at step t (the config of record:
+      `scene_edit_config.py:79` "when None, sigma is used for Diffuser");
+      without a schedule there is no clip;
+    * an explicit `perturb_th` with `n_timesteps` set decays sigmoidally
+      from ~4 at the start of sampling to `perturb_th` at t=0
+      (`sig_scale = (sigmoid(10 t/T) - 1/2) * 2`,
+      `th = sig_scale * (4 - perturb_th) + perturb_th`,
+      `diffuser.py:890-893`); without `n_timesteps` it is constant;
+    * `lr=None` with a `sigma_schedule` uses sigma as the step size
+      (`diffuser.py:899-900`).
+
+    sigma_schedule [n_timesteps]: per-step posterior sigmas,
+    exp(0.5 * posterior_log_variance_clipped).
     """
     # pre-pack the scan-invariant guidance inputs HERE, the choke point
     # every guided ctx passes through before the sampling scan is traced —
@@ -159,11 +174,22 @@ def make_perturbation_guidance(
             break
 
     def guidance_fn(mean: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        th = perturb_th
-        if th is not None and sigma_schedule is not None:
-            th = th * sigma_schedule[t[0]]
+        if perturb_th is None:
+            th = None if sigma_schedule is None else sigma_schedule[t[0]]
+        elif n_timesteps is not None:
+            tf = t[0].astype(jnp.float32)
+            sig_scale = (jax.nn.sigmoid(10.0 * tf / n_timesteps) - 0.5) * 2.0
+            th = sig_scale * (4.0 - perturb_th) + perturb_th
+        else:
+            th = perturb_th
+        step_lr = lr
+        if step_lr is None:
+            if sigma_schedule is None:
+                raise ValueError("lr=None needs a sigma_schedule (lr = sigma)")
+            step_lr = sigma_schedule[t[0]]
         return perturb(
-            mean, ctx, specs, decode_fn, lr=lr, grad_steps=grad_steps, perturb_th=th
+            mean, ctx, specs, decode_fn, lr=step_lr, grad_steps=grad_steps,
+            perturb_th=th,
         )
 
     return guidance_fn

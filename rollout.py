@@ -185,6 +185,10 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                     ctx, specs, decode_fn,
                     lr=args.guidance_lr, grad_steps=args.guidance_steps,
                     perturb_th=args.perturb_th,
+                    sigma_schedule=jnp.exp(
+                        0.5 * dm_trainer.schedule.posterior_log_variance_clipped
+                    ),
+                    n_timesteps=dm_trainer.schedule.n_timesteps,
                 )
 
         if args.sampler == "ddim":
@@ -214,6 +218,7 @@ def make_dm_policy(cfg, args, pack, sim_cfg, specs):
                 guidance_fn=guidance_fn,
                 guidance_stride=args.guidance_stride,
                 guidance_clean=args.guide_clean,
+                guidance_output=args.guide_output,
             )
         traj = decode_fn(out["pred_traj"])  # [Na, N, T, 6] descaled
         if num_samp > 1 and args.guide_with_gt and obs.target_positions is not None:
@@ -326,7 +331,19 @@ def main():
     parser.add_argument("--guidance-steps", type=int, default=1)
     parser.add_argument("--guidance-stride", type=int, default=1,
                         help="apply guidance every k-th denoise step")
-    parser.add_argument("--perturb-th", type=float, default=1.0)
+    parser.add_argument("--perturb-th", type=float, default=None,
+                        help="clip bound on the cumulative perturbation "
+                             "delta. Default None = clip to the posterior "
+                             "sigma at step t (the reference config of "
+                             "record, scene_edit_config.py:79); an explicit "
+                             "value decays sigmoidally from ~4 to the given "
+                             "bound over the denoise steps "
+                             "(diffuser.py:890-893)")
+    parser.add_argument("--guide-output", action="store_true",
+                        help="also perturb the final t=0 output step "
+                             "(apply_guidance_output; the reference config "
+                             "of record leaves it off, "
+                             "scene_edit_config.py:85)")
     parser.add_argument("--cle-report", action="store_true",
                         help="append a closed-loop-evaluator validation "
                              "summary (range validators + driven-miles "
