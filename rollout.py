@@ -113,6 +113,79 @@ def build_guidance_specs(args, pack, sim_cfg, num_agents):
     return specs
 
 
+def raster_from_world_per_agent(pack):
+    """[Na, 3, 3] world->pixel transforms built from each agent's OWN scene
+    origin — origins differ across scenes in real-scene packs
+    (sim/scene.py:scene_pack_from_shards), so a shared scene-0 matrix would
+    misplace every other scene's queries."""
+    org = pack.map_origin[pack.scene_index]  # [Na, 2]
+    res = float(pack.map_resolution)
+    Na = org.shape[0]
+    zeros = jnp.zeros((Na,))
+    ones = jnp.ones((Na,))
+    return jnp.stack([
+        jnp.stack([ones / res, zeros, -org[:, 0] / res], axis=-1),
+        jnp.stack([zeros, ones / res, -org[:, 1] / res], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1),
+    ], axis=1)
+
+
+def occupancy_report(pack, traj):
+    """Occupancy-grid metrics over the executed rollout
+    (`env_metrics.py:977+`), one grid PER SCENE: each scene's positions are
+    splatted against its own map + origin, then the reductions average
+    across scenes."""
+    from cld_tpu.sim.occupancy import occupancy_init, occupancy_metrics, occupancy_update
+
+    Hw = pack.world_map.shape[1]
+    scene_idx_np = np.asarray(pack.scene_index)
+    traj_np = np.asarray(traj)
+    occ_per_scene = []
+    for s in range(pack.world_map.shape[0]):
+        in_scene = scene_idx_np == s
+        if not in_scene.any():
+            continue
+        occ = occupancy_init(
+            origin=(float(pack.map_origin[s, 0]), float(pack.map_origin[s, 1])),
+            size=(Hw // 2, Hw // 2), step=2 * pack.map_resolution, sigma=1.0,
+        )
+        occ = occupancy_update(occ, traj_np[:, in_scene, :2].reshape(-1, 2))
+        occ_per_scene.append(
+            occupancy_metrics(occ, pack.world_map[s, :, :, 0],
+                              pack.map_origin[s], pack.map_resolution)
+        )
+    return {
+        k: float(np.mean([d[k] for d in occ_per_scene])) for k in occ_per_scene[0]
+    }
+
+
+def guidance_satisfaction_report(pack, traj, sim_cfg, specs):
+    """Per-rule satisfaction on the executed world-frame trajectories
+    (guidance_metrics.py:896-930 mirror metrics)."""
+    from cld_tpu.guidance.metrics import executed_traj_from_states, guidance_metrics
+
+    executed = executed_traj_from_states(traj, dt=sim_cfg.dt)
+    Na = pack.num_agents
+    exec_ctx = GuidanceContext(
+        drivable_map=pack.world_map[pack.scene_index, :, :, 0],
+        raster_from_agent=raster_from_world_per_agent(pack),
+        extent=pack.extent,
+        curr_speed=pack.init_states[:, 2],
+        world_from_agent=world_from_agent_matrix(
+            jnp.zeros((Na, 2)), jnp.zeros((Na,))
+        ),
+        scene_index=pack.scene_index,
+        # executed trajectories are world-frame, so world lane points
+        # are already in the "agent" frame of this context
+        lane_points=(pack.lane_points[pack.scene_index]
+                     if pack.lane_points is not None else None),
+        lane_avail=(pack.lane_avail[pack.scene_index]
+                    if pack.lane_avail is not None else None),
+    )
+    gm = guidance_metrics(specs, executed, exec_ctx)
+    return {k: float(np.nanmean(v)) for k, v in gm.items()}
+
+
 def make_dm_policy(cfg, args, pack, sim_cfg, specs):
     """Build the jittable policy: obs -> (guided) latent sampling -> actions."""
     from train import _build_dm
@@ -472,19 +545,7 @@ def main():
     metrics = summarize_metrics(pack, state, sim_cfg)
 
     # occupancy-grid metrics over the executed rollout (env_metrics.py:977+)
-    from cld_tpu.sim.occupancy import occupancy_init, occupancy_metrics, occupancy_update
-
-    Hw = pack.world_map.shape[1]
-    world_extent = Hw * pack.map_resolution
-    occ = occupancy_init(
-        origin=(float(pack.map_origin[0, 0]), float(pack.map_origin[0, 1])),
-        size=(Hw // 2, Hw // 2), step=2 * pack.map_resolution, sigma=1.0,
-    )
-    occ = occupancy_update(occ, np.asarray(traj)[:, :, :2].reshape(-1, 2))
-    metrics.update(
-        occupancy_metrics(occ, pack.world_map[0, :, :, 0], pack.map_origin[0],
-                          pack.map_resolution)
-    )
+    metrics.update(occupancy_report(pack, traj))
 
     if args.cle_report:
         # l5kit-CLE-style validation: range validators with violation-
@@ -524,38 +585,9 @@ def main():
     metrics["compile_and_first_run_s"] = compile_and_run
 
     if specs:
-        # per-rule satisfaction on the executed world-frame trajectories
-        # (guidance_metrics.py:896-930 mirror metrics)
-        from cld_tpu.guidance.metrics import executed_traj_from_states, guidance_metrics
-        from cld_tpu.ops.geometry import world_from_agent_matrix as _wfa
-
-        executed = executed_traj_from_states(traj, dt=sim_cfg.dt)
-        Na = pack.num_agents
-        exec_ctx = GuidanceContext(
-            drivable_map=pack.world_map[pack.scene_index, :, :, 0],
-            raster_from_agent=jnp.broadcast_to(
-                jnp.array(
-                    [[1 / pack.map_resolution, 0, -float(pack.map_origin[0, 0]) / pack.map_resolution],
-                     [0, 1 / pack.map_resolution, -float(pack.map_origin[0, 1]) / pack.map_resolution],
-                     [0, 0, 1]], jnp.float32,
-                ),
-                (Na, 3, 3),
-            ),
-            extent=pack.extent,
-            curr_speed=pack.init_states[:, 2],
-            world_from_agent=_wfa(jnp.zeros((Na, 2)), jnp.zeros((Na,))),
-            scene_index=pack.scene_index,
-            # executed trajectories are world-frame, so world lane points
-            # are already in the "agent" frame of this context
-            lane_points=(pack.lane_points[pack.scene_index]
-                         if pack.lane_points is not None else None),
-            lane_avail=(pack.lane_avail[pack.scene_index]
-                        if pack.lane_avail is not None else None),
+        metrics["guidance_satisfaction"] = guidance_satisfaction_report(
+            pack, traj, sim_cfg, specs
         )
-        gm = guidance_metrics(specs, executed, exec_ctx)
-        metrics["guidance_satisfaction"] = {
-            k: float(np.nanmean(v)) for k, v in gm.items()
-        }
     print(json.dumps(metrics, indent=2))
 
     os.makedirs(args.output, exist_ok=True)
