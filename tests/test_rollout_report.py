@@ -91,6 +91,36 @@ def test_guidance_satisfaction_invariant_to_scene_origin_shift():
         assert rep_s[k] == pytest.approx(v, rel=1e-3, abs=1e-5)
 
 
+def test_guidance_metrics_nan_out_unaffected_agents():
+    """Agents outside a rule's agent_mask report NaN (excluded from the
+    nanmean aggregation), matching the reference's per-rule agent scoping
+    (guidance_metrics.py:896-930)."""
+    from cld_tpu.guidance.metrics import executed_traj_from_states, guidance_metrics
+    from cld_tpu.guidance.losses import GuidanceContext, TargetSpeedLoss
+
+    pack = _base_pack()
+    traj = _executed_traj(pack)
+    executed = executed_traj_from_states(jnp.asarray(traj))
+    Na = pack.num_agents
+    mask = np.zeros(Na, bool)
+    mask[:2] = True
+    specs = [GuidanceSpec(
+        TargetSpeedLoss(target_speed=np.zeros(Na, np.float32)), 1.0,
+        agent_mask=jnp.asarray(mask),
+    )]
+    ctx = GuidanceContext(
+        drivable_map=pack.world_map[pack.scene_index, :, :, 0],
+        raster_from_agent=rollout_cli.raster_from_world_per_agent(pack),
+        extent=pack.extent,
+        curr_speed=pack.init_states[:, 2],
+        world_from_agent=jnp.broadcast_to(jnp.eye(3), (Na, 3, 3)),
+        scene_index=pack.scene_index,
+    )
+    vals = next(iter(guidance_metrics(specs, executed, ctx).values()))
+    assert np.isfinite(vals[:2]).all()
+    assert np.isnan(vals[2:]).all()
+
+
 def test_occupancy_report_invariant_to_scene_origin_shift():
     base = _base_pack()
     shifted = _shifted_pack(base)
