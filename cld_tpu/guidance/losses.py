@@ -53,10 +53,14 @@ class GuidanceContext(NamedTuple):
     # MapCollisionLoss bbox invariants, same hoisting story (measured on the
     # round-3 device profile: XLA recomputed the pose-invariant [B, P, P]
     # distance cache at EVERY denoise step, 0.065 ms/step at bench scale
-    # despite it being scan-invariant). bbox_pts [B, P, 2] extent-scaled
-    # local grid points; bbox_d2 [B, P, P] their pairwise squared distances.
-    # Fill via `prepack_map_bbox` with the SAME num_points_lw as the loss
-    # (make_perturbation_guidance does this from the spec automatically).
+    # despite it being scan-invariant). bbox_pts [B, R, C, 2] extent-scaled
+    # local grid points — kept GRID-shaped (not flattened to P) so the loss
+    # can verify the exact (R, C) factorization before reuse: two different
+    # num_points_lw with the same product are different grids, and a
+    # flat-count check alone would silently consume the wrong one.
+    # bbox_d2 [B, P, P] their pairwise squared distances (P = R * C,
+    # row-major). Fill via `prepack_map_bbox` with the SAME num_points_lw
+    # as the loss (make_perturbation_guidance does this from the spec).
     bbox_pts: Optional[jnp.ndarray] = None
     bbox_d2: Optional[jnp.ndarray] = None
 
@@ -82,20 +86,29 @@ def bbox_local_grid(num_points_lw: Tuple[int, int]) -> jnp.ndarray:
 
 
 def prepack_map_bbox(
-    ctx: "GuidanceContext", num_points_lw: Tuple[int, int] = (10, 10)
+    ctx: "GuidanceContext",
+    num_points_lw: Tuple[int, int] = (10, 10),
+    with_d2: bool = True,
 ) -> "GuidanceContext":
     """Fill the MapCollisionLoss bbox invariants (pts grid + pairwise d2).
 
     Both depend only on ctx.extent and the static grid, so computing them
     here — outside the sampling scan — replaces a per-denoise-step
-    recompute. Idempotent; the loss falls back to recomputing when absent
-    or when P disagrees with its num_points_lw."""
-    if ctx.bbox_pts is not None:
-        return ctx
+    recompute. Idempotent for a matching (R, C) grid; a ctx prepacked for a
+    DIFFERENT grid is re-packed (the loss requires an exact grid-shape
+    match before reuse and recomputes otherwise). `with_d2=False` skips the
+    [B, P, P] distance cache — only the rigid/pairwise min_dist_impl paths
+    read it; the default "separable" path never does."""
+    R, C = num_points_lw
+    if ctx.bbox_pts is not None and ctx.bbox_pts.shape[1:3] == (R, C):
+        if not with_d2 or ctx.bbox_d2 is not None:
+            return ctx
     local = bbox_local_grid(num_points_lw)  # [P, 2]
     pts = local[None] * ctx.extent[:, None, :2]  # [B, P, 2]
-    d2 = jnp.sum((pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1)
-    return ctx._replace(bbox_pts=pts, bbox_d2=d2)
+    d2 = None
+    if with_d2:
+        d2 = jnp.sum((pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1)
+    return ctx._replace(bbox_pts=pts.reshape(-1, R, C, 2), bbox_d2=d2)
 
 
 def masked_mean(per_agent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -429,7 +442,11 @@ def _min_dist_separable_bwd(res, g):
     ).reshape(B, Q, R, P)
     eqR = (rd2_t[:, None] + E_t) == Df[:, :, None, :]  # [B, Q, R(rp), P(j)]
     cntR = jnp.sum(eqR, axis=2)  # [B, Q, P]; >= 1 (D is the min of these)
-    w = a / cntR
+    # cntR >= 1 rests on the bitwise-recompute invariant (rd2+E re-added
+    # here equals the forward's D exactly); guard like stage-1's cntC so a
+    # backend/fusion change that breaks the equality degrades to a zero
+    # route instead of inf/NaN inside the guided sampling scan
+    w = a / jnp.maximum(cntR, 1)
 
     def row_route(v):  # [B, Q, P] -> [B, Q, R(rp), C] (sum over target r)
         t = jnp.where(eqR, v[:, :, None, :], 0.0)
@@ -795,14 +812,22 @@ class MapCollisionLoss:
         diag_len = jnp.sqrt(jnp.sum(lw * lw, axis=-1))  # [B]
 
         # extent-scaled bbox points: prepacked (hoisted out of the sampling
-        # scan, see prepack_map_bbox) or recomputed when absent/mismatched
-        if ctx.bbox_pts is not None and ctx.bbox_pts.shape[1] == P:
-            pts = ctx.bbox_pts  # [B, P, 2]
+        # scan, see prepack_map_bbox) or recomputed when absent/mismatched.
+        # The reuse guard is an EXACT (R, C) grid-shape match — a flat point
+        # count alone would accept a different factorization of the same
+        # product (e.g. (20, 5) vs (10, 10)) and silently score the wrong
+        # grid geometry.
+        grid_match = (
+            ctx.bbox_pts is not None
+            and ctx.bbox_pts.shape[1:3] == tuple(self.num_points_lw)
+        )
+        if grid_match:
+            pts = ctx.bbox_pts.reshape(B, P, 2)
         else:
             pts = bbox_local_grid(self.num_points_lw)[None] * lw[:, None, :]
 
         def pairwise_d2():
-            if ctx.bbox_d2 is not None and ctx.bbox_d2.shape[-1] == P:
+            if grid_match and ctx.bbox_d2 is not None:
                 return ctx.bbox_d2  # [B, P, P]
             return jnp.sum(
                 (pts[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1
@@ -1239,9 +1264,14 @@ class GlobalStopSignLoss:
     while the stop event is inside the history window (hist_frames+1
     frames, ~3 s at the config of record) and treats every frame as a
     potential replan boundary (the reference only checks every
-    `action_num` frames). Divergence window: a vehicle that stopped, then
-    stayed inside the box for LONGER than the history length is
-    re-penalized here but stays latched in the reference.
+    `action_num` frames). Divergence windows (both re-penalize here where
+    the reference stays latched): (a) a vehicle that stopped, then stayed
+    inside the box for LONGER than the history length; (b) a vehicle that
+    briefly EXITS and re-enters the box BETWEEN the reference's
+    action_num-aligned latch checks — the reference only samples the
+    newest history frame at each replan and never sees the excursion,
+    while the stateless suffix test here releases on any out-of-box frame.
+    Both err toward re-applying the stop rule, never toward skipping it.
     """
 
     stop_sign_pos: np.ndarray  # [B, 2] world-frame box centers

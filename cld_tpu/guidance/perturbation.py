@@ -168,10 +168,27 @@ def make_perturbation_guidance(
     )
 
     ctx = prepack_drivable(ctx)
-    for spec in specs:
-        if isinstance(spec.loss, MapCollisionLoss):
-            ctx = prepack_map_bbox(ctx, spec.loss.num_points_lw)
-            break
+    map_specs = [s for s in specs if isinstance(s.loss, MapCollisionLoss)]
+    if map_specs:
+        grids = {s.loss.num_points_lw for s in map_specs}
+        if len(grids) > 1:
+            # ctx carries ONE prepacked grid; a second spec with a different
+            # grid would silently recompute per denoise step (correct but
+            # the hoisting win is lost) — surface it instead
+            raise ValueError(
+                "multiple MapCollisionLoss specs with different "
+                f"num_points_lw {sorted(grids)}: prepacking supports one "
+                "grid per context — unify the specs' num_points_lw"
+            )
+        # the default "separable" min-dist path never reads the [B, P, P]
+        # distance cache; skip computing it unless a rigid/pairwise path
+        # of some spec will consume it
+        need_d2 = any(
+            s.loss.min_dist_impl != "separable" for s in map_specs
+        )
+        ctx = prepack_map_bbox(
+            ctx, map_specs[0].loss.num_points_lw, with_d2=need_d2
+        )
 
     def guidance_fn(mean: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         if perturb_th is None:

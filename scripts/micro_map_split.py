@@ -91,7 +91,7 @@ def main():
     _X0 = x
 
     lw = ctx.extent[:, :2]
-    pts_local = ctx.bbox_pts  # [B, P, 2]
+    pts_local = ctx.bbox_pts.reshape(B, RP * CP, 2)  # [B, P, 2]
     li = jnp.linspace(-0.5, 0.5, RP)
     wi = jnp.linspace(-0.5, 0.5, CP)
     rd2 = ((li[:, None] - li[None]) ** 2)[None] * (lw[:, 0] ** 2)[:, None, None]

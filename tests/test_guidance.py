@@ -202,7 +202,8 @@ def test_map_collision_bbox_prepack_matches_recompute():
 
     ctx = make_ctx()
     ctx_pre = prepack_map_bbox(ctx)
-    assert ctx_pre.bbox_pts.shape[1] == 100 and ctx_pre.bbox_d2.shape[-1] == 100
+    assert ctx_pre.bbox_pts.shape[1:3] == (10, 10)
+    assert ctx_pre.bbox_d2.shape[-1] == 100
     # idempotent
     assert prepack_map_bbox(ctx_pre).bbox_pts is ctx_pre.bbox_pts
     x = straight_traj(y_off=6.9)
@@ -214,10 +215,24 @@ def test_map_collision_bbox_prepack_matches_recompute():
     g0 = jax.grad(lambda v: MapCollisionLoss()(v, ctx).sum())(x)
     g1 = jax.grad(lambda v: MapCollisionLoss()(v, ctx_pre).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6, atol=1e-8)
-    # P mismatch -> silently recomputes with the loss's own grid
-    l_mis = MapCollisionLoss(num_points_lw=(6, 5))(x, ctx_pre)
-    l_ref = MapCollisionLoss(num_points_lw=(6, 5))(x, ctx)
-    np.testing.assert_allclose(np.asarray(l_mis), np.asarray(l_ref), rtol=1e-6)
+    # grid mismatch -> silently recomputes with the loss's own grid; this
+    # includes a DIFFERENT factorization of the SAME point count (a flat
+    # P == P check would wrongly reuse the (10, 10) prepack for (20, 5))
+    for grid in ((6, 5), (20, 5)):
+        l_mis = MapCollisionLoss(num_points_lw=grid)(x, ctx_pre)
+        l_ref = MapCollisionLoss(num_points_lw=grid)(x, ctx)
+        np.testing.assert_allclose(np.asarray(l_mis), np.asarray(l_ref), rtol=1e-6)
+    # with_d2=False (the separable default's prepack) skips the [B, P, P]
+    # cache but keeps the grid; a rigid-path prepack on top fills it in
+    ctx_nod2 = prepack_map_bbox(ctx, with_d2=False)
+    assert ctx_nod2.bbox_d2 is None and ctx_nod2.bbox_pts.shape[1:3] == (10, 10)
+    l_sep = MapCollisionLoss(min_dist_impl="separable")(x, ctx_nod2)
+    np.testing.assert_allclose(
+        np.asarray(l_sep),
+        np.asarray(MapCollisionLoss(min_dist_impl="separable")(x, ctx)),
+        rtol=1e-6,
+    )
+    assert prepack_map_bbox(ctx_nod2).bbox_d2 is not None
 
 
 def test_make_perturbation_guidance_prepacks_on_tpu_only():
