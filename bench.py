@@ -84,6 +84,8 @@ CL_STEPS = int(os.environ.get("BENCH_CL_STEPS", 100))
 CL50_SCENES = int(os.environ.get("BENCH_CL50_SCENES", 2))
 CL50_AGENTS = int(os.environ.get("BENCH_CL50_AGENTS", 50))
 SKIP_CL50 = os.environ.get("BENCH_SKIP_CL50", "0") == "1"
+SKIP_CL_5SAMP = os.environ.get("BENCH_SKIP_CL_5SAMP", "0") == "1"
+SKIP_DDIM = os.environ.get("BENCH_SKIP_DDIM", "0") == "1"
 # CPU smoke mode: skip the tunnel probe (CPU cannot outage) and pin the
 # platform via jax.config — the axon plugin overrides JAX_PLATFORMS env.
 FORCE_CPU = os.environ.get("BENCH_FORCE_CPU", "0") == "1"
@@ -456,16 +458,27 @@ def bench_train_steps(cfg, dm_trainer, dm_state, batch):
     return results
 
 
-def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents):
+def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents,
+                      num_samp=1):
     """Guided closed-loop sim throughput (agent-steps/s): the second
-    BASELINE.json north-star metric, on the same flagship guidance."""
+    BASELINE.json north-star metric, on the same flagship guidance.
+
+    num_samp > 1 adds the reference's full sampling cadence of record
+    (`scene_edit_config.py:64` num_action_samples=5): every replan diffuses
+    N guided samples per agent and picks one by guidance-loss filtration
+    (`choose_action_from_guidance`, guidance_loss.py:22-64) — scene-level
+    shared pick, since agent_collision couples agents within a scene."""
     import jax
     import jax.numpy as jnp
 
     from cld_tpu.algos.dm import sample_traj
     from cld_tpu.data.batch import get_current_states
     from cld_tpu.guidance.losses import GuidanceContext, prepack_drivable
-    from cld_tpu.guidance.perturbation import make_perturbation_guidance
+    from cld_tpu.guidance.perturbation import (
+        choose_best_sample,
+        make_perturbation_guidance,
+        per_sample_guidance_loss,
+    )
     from cld_tpu.models.vae import (
         convert_action_to_state_and_action,
         decode_actions,
@@ -496,16 +509,18 @@ def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents):
         enc_rng, samp_rng = jax.random.split(rng)
         _, aux = dm_trainer.encode(obs, enc_rng)
         curr = get_current_states(obs)
+        cond_rep = jnp.repeat(aux["cond_feat"], num_samp, axis=0)
+        curr_rep = jnp.repeat(curr, num_samp, axis=0)
 
         def decode_fn(z):
             acts = decode_actions(
-                dm_trainer.vae, dm_trainer.vae_variables, z, aux["cond_feat"],
+                dm_trainer.vae, dm_trainer.vae_variables, z, cond_rep,
                 impl=DECODE_IMPL,
             )
             traj = convert_action_to_state_and_action(
-                acts, curr, dyn, normalizer, descaled_output=True
+                acts, curr_rep, dyn, normalizer, descaled_output=True
             )
-            return traj[:, None]
+            return traj.reshape(Na, num_samp, *traj.shape[1:])
 
         ctx = prepack_drivable(GuidanceContext(
             drivable_map=obs.drivable_map,
@@ -524,16 +539,27 @@ def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents):
         out = sample_traj(
             dm_trainer.denoise_fn(dm_state.params), dm_trainer.schedule,
             samp_rng, aux["cond_feat"], cfg.algo.horizon,
-            cfg.algo.vae.latent_size, num_samp=1, guidance_fn=gfn,
+            cfg.algo.vae.latent_size, num_samp=num_samp, guidance_fn=gfn,
         )
-        return decode_fn(out["pred_traj"])[:, 0, :, 4:6]
+        traj = decode_fn(out["pred_traj"])  # [Na, N, T, 6]
+        if num_samp > 1:
+            # filtration of record: scene-level shared pick (agent_collision
+            # couples agents — per-agent picks would execute un-scored
+            # trajectory combinations)
+            losses = per_sample_guidance_loss(traj, ctx, specs)
+            best, _ = choose_best_sample(
+                traj, losses, scene_index=obs.scene_index, scene_level=True
+            )
+        else:
+            best = traj[:, 0]
+        return best[:, :, 4:6]
 
     run = jax.jit(lambda rng: simulate(pack, policy, rng, sim_cfg))
     t0 = time.perf_counter()
     _, traj = run(jax.random.key(0))
     traj.block_until_ready()
     log(
-        f"closed-loop {n_scenes}x{n_agents} compiled+warm in "
+        f"closed-loop {n_scenes}x{n_agents}x{num_samp}samp compiled+warm in "
         f"{time.perf_counter() - t0:.1f}s"
     )
     t0 = time.perf_counter()
@@ -541,6 +567,73 @@ def bench_closed_loop(cfg, dm_trainer, dm_state, n_scenes, n_agents):
     traj.block_until_ready()
     steady = time.perf_counter() - t0
     return Na * CL_STEPS / steady, steady
+
+
+def bench_ddim50(cfg, dm_trainer, dm_state):
+    """BASELINE.json config 2: batched open-loop sampling, 32 scenes x 20
+    agents, DDIM-50 latent sampler with the map/context encoder. Reports
+    NFE/s (one NFE = one denoiser evaluation for one trajectory; 50 per
+    sample)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cld_tpu.algos.dm import sample_traj_ddim
+    from cld_tpu.data.batch import get_current_states
+    from cld_tpu.data.synthetic import synthetic_batch
+    from cld_tpu.models.vae import (
+        convert_action_to_state_and_action,
+        decode_actions,
+    )
+    from cld_tpu.ops.dynamics import UnicycleParams
+    from cld_tpu.ops.normalization import TrajNormalizer
+
+    n_scenes, n_agents, n_steps = 32, 20, 50
+    B = n_scenes * n_agents  # 640
+    dyn = UnicycleParams.from_config(cfg.algo.dynamics)
+    normalizer = TrajNormalizer()
+    batch = synthetic_batch(seed=1, batch_size=B, raster_size=224)
+    if dm_trainer.unet.dtype == jnp.bfloat16:
+        batch = batch._replace(image=batch.image.astype(jnp.bfloat16))
+    batch = jax.tree.map(jax.device_put, batch)
+    jax.block_until_ready(batch.image)
+
+    def pipeline(params, batch, rng):
+        enc_rng, samp_rng = jax.random.split(rng)
+        _, aux = dm_trainer.encode(batch, enc_rng)
+        curr = get_current_states(batch)
+        out = sample_traj_ddim(
+            dm_trainer.denoise_fn(params), dm_trainer.schedule, samp_rng,
+            aux["cond_feat"], cfg.algo.horizon, cfg.algo.vae.latent_size,
+            num_samp=NUM_SAMP, num_steps=n_steps,
+        )
+        acts = decode_actions(
+            dm_trainer.vae, dm_trainer.vae_variables, out["pred_traj"],
+            out["cond_feat"], impl=DECODE_IMPL,
+        )
+        traj = convert_action_to_state_and_action(
+            acts, jnp.repeat(curr, NUM_SAMP, axis=0), dyn, normalizer,
+            descaled_output=True,
+        )
+        return traj.mean()
+
+    compiled = (
+        jax.jit(pipeline).lower(dm_state.params, batch, jax.random.key(50)).compile()
+    )
+    r = compiled(dm_state.params, batch, jax.random.key(50))
+    jax.block_until_ready(r)
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r = compiled(dm_state.params, batch, jax.random.key(51 + i))
+    jax.block_until_ready(r)
+    elapsed = time.perf_counter() - t0
+    return {
+        "ddim50_nfe_per_sec": round(B * NUM_SAMP * n_steps * iters / elapsed, 1),
+        "ddim50_config": (
+            f"{n_scenes} scenes x {n_agents} agents (batch {B}), DDIM-50, "
+            f"raster 224 encode + decode, unguided (BASELINE config 2)"
+        ),
+    }
 
 
 def bench_ppo(cfg, dm_trainer, dm_state, batch):
@@ -656,6 +749,17 @@ def main():
     except Exception as e:
         log(f"denoiser micro-phase failed (non-fatal): {e}")
 
+    if not SKIP_DDIM:
+        if time_left() > 420:
+            try:
+                PARTIAL.update(bench_ddim50(cfg, dm_trainer, dm_state))
+                log(f"ddim50 NFE/s = {PARTIAL.get('ddim50_nfe_per_sec')}")
+            except Exception as e:
+                log(f"ddim50 phase failed (non-fatal): {e}")
+                PARTIAL["ddim50_phase"] = f"failed: {e}"
+        else:
+            PARTIAL["ddim50_phase"] = "skipped: deadline"
+
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
         if time_left() > 420:
             PARTIAL.update(bench_train_steps(cfg, dm_trainer, dm_state, batch))
@@ -695,6 +799,27 @@ def main():
             )
         elif not SKIP_CL50:
             PARTIAL["closed_loop_50agent_phase"] = "skipped: deadline"
+        # the reference's full per-replan sampling cadence of record:
+        # num_action_samples=5 guided samples + guidance-loss filtration
+        # (`scene_edit_config.py:64`)
+        if not SKIP_CL50 and not SKIP_CL_5SAMP and time_left() > 600:
+            cl5_rate, cl5_wall = bench_closed_loop(
+                cfg, dm_trainer, dm_state, CL50_SCENES, CL50_AGENTS,
+                num_samp=5,
+            )
+            log(
+                f"closed-loop 50-agent 5-samp agent-steps/s = {cl5_rate:.0f} "
+                f"(wall {cl5_wall:.2f}s)"
+            )
+            PARTIAL["closed_loop_50agent_5samp_steps_per_sec"] = round(cl5_rate, 1)
+            PARTIAL["closed_loop_50agent_5samp_config"] = (
+                f"{CL50_SCENES} scenes x {CL50_AGENTS} agents, {CL_STEPS} "
+                f"frames, replan/5, 5 guided DDPM-100 samples + guidance-"
+                f"loss filtration per replan (scene_edit_config cadence of "
+                f"record), raster 224"
+            )
+        elif not SKIP_CL50 and not SKIP_CL_5SAMP:
+            PARTIAL["closed_loop_50agent_5samp_phase"] = "skipped: deadline"
 
     PARTIAL.pop("_headline_nfe_per_sec", None)
     emit(

@@ -191,25 +191,54 @@ def make_perturbation_guidance(
         )
 
     def guidance_fn(mean: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        if perturb_th is None:
-            th = None if sigma_schedule is None else sigma_schedule[t[0]]
-        elif n_timesteps is not None:
-            tf = t[0].astype(jnp.float32)
-            sig_scale = (jax.nn.sigmoid(10.0 * tf / n_timesteps) - 0.5) * 2.0
-            th = sig_scale * (4.0 - perturb_th) + perturb_th
-        else:
-            th = perturb_th
-        step_lr = lr
-        if step_lr is None:
-            if sigma_schedule is None:
-                raise ValueError("lr=None needs a sigma_schedule (lr = sigma)")
-            step_lr = sigma_schedule[t[0]]
+        step_lr, th = guidance_opt_schedule(
+            t[0], lr=lr, perturb_th=perturb_th,
+            sigma_schedule=sigma_schedule, n_timesteps=n_timesteps,
+        )
         return perturb(
             mean, ctx, specs, decode_fn, lr=step_lr, grad_steps=grad_steps,
             perturb_th=th,
         )
 
     return guidance_fn
+
+
+def guidance_opt_schedule(
+    t,
+    *,
+    lr: Optional[float],
+    perturb_th: Optional[float],
+    sigma_schedule: Optional[jnp.ndarray],
+    n_timesteps: Optional[int],
+):
+    """Per-step (step_lr, perturb_th) of the reference's intermediate-step
+    guidance-optimization scheduling block (`models/diffuser.py:884-905`):
+
+    * perturb_th None -> th = posterior sigma at t (None without a schedule);
+    * explicit perturb_th with n_timesteps -> sigmoid decay from ~4 at the
+      start of sampling down to perturb_th at t=0
+      (`sig_scale = (sigmoid(10 t/T) - 1/2) * 2`,
+      `th = sig_scale * (4 - perturb_th) + perturb_th`);
+    * lr None -> lr = sigma (requires a schedule).
+
+    Exposed standalone so the exact per-step series can be parity-tested
+    against the reference's p_sample scheduling code
+    (tests/test_e2e_parity.py). `t` is a scalar (traced or concrete).
+    """
+    if perturb_th is None:
+        th = None if sigma_schedule is None else sigma_schedule[t]
+    elif n_timesteps is not None:
+        tf = jnp.asarray(t).astype(jnp.float32)
+        sig_scale = (jax.nn.sigmoid(10.0 * tf / n_timesteps) - 0.5) * 2.0
+        th = sig_scale * (4.0 - perturb_th) + perturb_th
+    else:
+        th = perturb_th
+    step_lr = lr
+    if step_lr is None:
+        if sigma_schedule is None:
+            raise ValueError("lr=None needs a sigma_schedule (lr = sigma)")
+        step_lr = sigma_schedule[t]
+    return step_lr, th
 
 
 def per_sample_guidance_loss(

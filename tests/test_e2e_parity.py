@@ -311,3 +311,337 @@ def test_perturbation_step_parity(reference_env, monkeypatch):
 
     assert not np.allclose(np.asarray(x_ours), x_init)  # it actually moved
     np.testing.assert_allclose(np.asarray(x_ours), x_ref_out, rtol=1e-4, atol=1e-5)
+
+
+def _ref_diffuser_module(reference_env):
+    """Import the reference tbsim.models.diffuser as a real package member
+    (it uses relative imports, so file-location loading breaks); the
+    reference_env fixture has already installed the torchvision/trajdata
+    stubs and put reference/src on sys.path."""
+    import importlib
+
+    reference_env("models/dm/dm_model.py", "ref_dm_model")  # ensure sys.path
+    return importlib.import_module("tbsim.models.diffuser")
+
+
+def _diffuser_sched_shim(reference_env, *, p_mean_variance, pg,
+                         guidance_optimization_params,
+                         apply_guidance_output=False,
+                         final_step_opt_params=None,
+                         n_timesteps=N_TIMESTEPS):
+    """DiffuserModel.__new__ shim exposing the REAL `p_sample`
+    (`src/tbsim/models/diffuser.py:844-929`) — i.e. the real per-step
+    guidance-optimization scheduling block — without constructing the full
+    model: only the attributes p_sample reads are set, and p_mean_variance
+    is injected by the caller."""
+    dmod = _ref_diffuser_module(reference_env)
+    shim = dmod.DiffuserModel.__new__(dmod.DiffuserModel)
+    torch.nn.Module.__init__(shim)
+    shim.current_perturbation_guidance = pg
+    shim.guidance_optimization_params = guidance_optimization_params
+    shim.apply_guidance_intermediate = True
+    shim.apply_guidance_output = apply_guidance_output
+    shim.final_step_opt_params = final_step_opt_params
+    shim.n_timesteps = n_timesteps
+    shim.p_mean_variance = p_mean_variance
+    shim.diffuser_input_mode = "state"  # skip the trailing dyn conversion
+    return shim
+
+
+class _RecordingPG:
+    """Stands in for PerturbationGuidance: records the (lr, perturb_th) the
+    real scheduling block hands to perturb(), perturbs nothing."""
+
+    def __init__(self):
+        self.current_guidance = object()  # truthy: guidance is set
+        self.calls = []
+
+    def perturb(self, x_initial, data_batch, opt_params, num_samp=1,
+                return_grad_of=None):
+        self.calls.append((opt_params["lr"], opt_params["perturb_th"]))
+        return x_initial, {}
+
+    def compute_guidance_loss(self, *a, **k):
+        return None, {}
+
+
+def _scalar(v):
+    if torch.is_tensor(v):
+        return float(v.flatten()[0])
+    return float(v)
+
+
+def test_guidance_opt_schedule_series_parity(reference_env):
+    """The per-step (lr, perturb_th) series our `guidance_opt_schedule`
+    computes matches the series the REFERENCE's p_sample scheduling block
+    (`diffuser.py:875-905`) hands to PerturbationGuidance.perturb, for all
+    100 steps, in all three of-record modes:
+
+    * perturb_th=None  -> th = posterior sigma at t (`scene_edit_config.py:79`)
+    * explicit perturb_th -> sigmoid decay from ~4 down to the bound
+    * lr=None          -> lr = sigma
+
+    plus the t=0 skip: with apply_guidance_output=False (of record,
+    `scene_edit_config.py:85`) the final step must NOT call perturb.
+    """
+    from cld_tpu.guidance.perturbation import guidance_opt_schedule
+    from cld_tpu.ops.diffusion import make_schedule
+
+    ref_dm = _ref_dm_model(reference_env, horizon=T, latent=D, cond=COND, dim=8)
+    plv = ref_dm.posterior_log_variance_clipped  # [100] torch
+    ours = make_schedule(N_TIMESTEPS)
+    sig_ours = jnp.exp(0.5 * ours.posterior_log_variance_clipped)
+
+    x = torch.as_tensor(
+        np.random.default_rng(0).normal(size=(B, T, D)).astype(np.float32)
+    )
+
+    def run_series(opt_params):
+        pg = _RecordingPG()
+
+        def p_mean_variance(x=None, t=None, aux_info=None, class_free_guide_w=0.0):
+            lv = torch.full((x.shape[0], 1, 1), float(plv[int(t[0])]))
+            return x * 0.9, None, lv, (None, None, None)
+
+        shim = _diffuser_sched_shim(
+            reference_env, p_mean_variance=p_mean_variance, pg=pg,
+            guidance_optimization_params=opt_params,
+        )
+        dmod = _ref_diffuser_module(reference_env)
+        for i in reversed(range(N_TIMESTEPS)):
+            t = torch.full((B,), i, dtype=torch.long)
+            dmod.DiffuserModel.p_sample(shim, x, t, {}, aux_info={}, num_samp=1)
+        return pg.calls
+
+    # --- mode 1: config of record (lr 0.3, perturb_th None -> sigma) ---
+    calls = run_series(dict(optimizer="adam", lr=0.3, grad_steps=1, perturb_th=None))
+    assert len(calls) == N_TIMESTEPS - 1  # every step EXCEPT t=0 (skip of record)
+    for step, (ref_lr, ref_th) in enumerate(calls):
+        t = N_TIMESTEPS - 1 - step
+        our_lr, our_th = guidance_opt_schedule(
+            t, lr=0.3, perturb_th=None, sigma_schedule=sig_ours,
+            n_timesteps=N_TIMESTEPS,
+        )
+        assert _scalar(ref_lr) == 0.3 and our_lr == 0.3
+        np.testing.assert_allclose(_scalar(ref_th), float(our_th), rtol=1e-5)
+
+    # --- mode 2: explicit bound -> sigmoid decay from ~4 to the bound ---
+    calls = run_series(dict(optimizer="adam", lr=0.3, grad_steps=1, perturb_th=1.0))
+    th_series = []
+    for step, (_, ref_th) in enumerate(calls):
+        t = N_TIMESTEPS - 1 - step
+        _, our_th = guidance_opt_schedule(
+            t, lr=0.3, perturb_th=1.0, sigma_schedule=None,
+            n_timesteps=N_TIMESTEPS,
+        )
+        np.testing.assert_allclose(_scalar(ref_th), float(our_th), rtol=1e-5)
+        th_series.append(_scalar(ref_th))
+    assert th_series[0] > 3.9 and abs(th_series[-1] - th_series[0]) > 1.0
+
+    # --- mode 3: lr=None -> lr = sigma ---
+    calls = run_series(dict(optimizer="adam", lr=None, grad_steps=1, perturb_th=None))
+    for step, (ref_lr, _) in enumerate(calls):
+        t = N_TIMESTEPS - 1 - step
+        our_lr, _ = guidance_opt_schedule(
+            t, lr=None, perturb_th=None, sigma_schedule=sig_ours,
+            n_timesteps=N_TIMESTEPS,
+        )
+        np.testing.assert_allclose(_scalar(ref_lr), float(our_lr), rtol=1e-5)
+
+    # --- final-step opt params: apply_guidance_output=True routes t=0 to
+    # final_step_opt_params (`diffuser.py:877-879`) ---
+    pg = _RecordingPG()
+
+    def pmv(x=None, t=None, aux_info=None, class_free_guide_w=0.0):
+        lv = torch.full((x.shape[0], 1, 1), float(plv[int(t[0])]))
+        return x * 0.9, None, lv, (None, None, None)
+
+    final_params = dict(optimizer="adam", lr=0.3, grad_steps=1, perturb_th=1)
+    shim = _diffuser_sched_shim(
+        reference_env, p_mean_variance=pmv, pg=pg,
+        guidance_optimization_params=dict(
+            optimizer="adam", lr=0.3, grad_steps=1, perturb_th=None
+        ),
+        apply_guidance_output=True, final_step_opt_params=final_params,
+    )
+    dmod = _ref_diffuser_module(reference_env)
+    dmod.DiffuserModel.p_sample(
+        shim, x, torch.zeros(B, dtype=torch.long), {}, aux_info={}, num_samp=1
+    )
+    assert len(pg.calls) == 1 and pg.calls[0] == (0.3, 1)
+
+
+class _DecoderBoundPG:
+    """Adapter binding a latent decoder into the real
+    PerturbationGuidance.perturb call the real p_sample makes (p_sample
+    passes no decoder; the latent pipeline needs one)."""
+
+    def __init__(self, pg, decoder):
+        self._pg = pg
+        self._decoder = decoder
+
+    @property
+    def current_guidance(self):
+        return self._pg.current_guidance
+
+    def perturb(self, x_initial, data_batch, opt_params, num_samp=1,
+                return_grad_of=None):
+        return self._pg.perturb(
+            x_initial, data_batch, opt_params, num_samp=num_samp,
+            decoder=self._decoder, return_grad_of=return_grad_of,
+        )
+
+    def compute_guidance_loss(self, *a, **k):
+        return self._pg.compute_guidance_loss(*a, **k)
+
+
+def test_guided_sampler_e2e_parity(reference_env, monkeypatch):
+    """Full guided chain parity under the of-record optimization params
+    (adam, lr 0.3, grad_steps 1, perturb_th None): the REFERENCE side runs
+    the real `DiffuserModel.p_sample` per step — real scheduling block,
+    real `PerturbationGuidance.perturb` Adam ascent through the real LSTM
+    decoder + unicycle transform — over all 100 steps with injected UNet
+    weights and an injected noise queue; ours runs the jitted guided
+    `sample_traj` scan with `make_perturbation_guidance`.
+
+    Clip-semantics note (documented divergence, guidance/perturbation.py):
+    in the reference's plain `perturb` the perturb_th clip is DEAD CODE —
+    `x_guidance = x_initial` aliases and torch.optim mutates in place, so
+    the delta is always 0 and the of-record sigma threshold never binds
+    (`guidance_loss.py:2239,2274-2279`). Our live clip follows the
+    video_diffusion semantics instead, so for exact parity this test runs
+    ours with the clip off (sigma_schedule=None) — the reference's
+    EFFECTIVE of-record behavior. The th series itself is parity-tested in
+    test_guidance_opt_schedule_series_parity; the live-clip behavior in
+    test_guidance_stride.py.
+    """
+    from cld_tpu.algos.dm import sample_traj
+    from cld_tpu.guidance.losses import GuidanceContext, TargetPosLoss
+    from cld_tpu.guidance.perturbation import GuidanceSpec, make_perturbation_guidance
+    from cld_tpu.models.temporal_unet import TemporalMapUnet
+    from cld_tpu.models.vae import convert_action_to_state_and_action
+    from cld_tpu.ops.diffusion import make_schedule
+    from cld_tpu.ops.normalization import TrajNormalizer
+
+    gmod = reference_env("src/tbsim/utils/guidance_loss.py", "ref_guidance_loss_e2e")
+    vae_mod = reference_env("models/vae/vae_model.py", "ref_vae_model_ge2e")
+    ref_dm = _ref_dm_model(reference_env, horizon=T, latent=D, cond=COND, dim=8)
+    ref_dm.eval()
+    unet_params = _unet_params_from_ref(ref_dm.model)
+    ours_unet = TemporalMapUnet(transition_dim=D, output_dim=D, dim=8, dim_mults=(2, 4, 8))
+    ref_lstm, our_lstm, lstm_params = _lstm_vae_pair(reference_env)
+    vshim = _ref_vae_shim(vae_mod)
+    _patch_cpu_tensor(monkeypatch)
+
+    rng = np.random.default_rng(11)
+    cond_np = rng.normal(size=(B, COND)).astype(np.float32)
+    curr = rng.normal(size=(B, 4)).astype(np.float32)
+    curr[:, 2] = np.abs(curr[:, 2]) * 4.0
+    curr[:, 3] *= 0.3
+    target = rng.normal(size=(B, 2)).astype(np.float32) * 3.0
+
+    # shared noise queue: init latent + one draw per reverse step, the same
+    # rng chain sample_traj uses
+    rng0 = jax.random.key(21)
+    rng_steps, init_rng = jax.random.split(rng0)
+    x_init = np.asarray(jax.random.normal(init_rng, (B, T, D), jnp.float32))
+    step_rngs = jax.random.split(rng_steps, N_TIMESTEPS)
+    noise_queue = [
+        np.asarray(jax.random.normal(r, (B, T, D), jnp.float32))
+        for r in step_rngs
+    ]
+    drawn = {"i": 0}
+
+    def fake_randn_like(ref, **kw):
+        arr = noise_queue[drawn["i"]]
+        drawn["i"] += 1
+        assert tuple(ref.shape) == arr.shape
+        return torch.as_tensor(arr)
+
+    # --- reference: real p_sample per step, real perturb + Adam ---
+    pg = gmod.PerturbationGuidance(
+        transform=lambda acts, db, tp, bsize=1, num_samp=1: (
+            vshim.convert_action_to_state_and_action(
+                acts, torch.as_tensor(curr), scaled_input=True,
+                descaled_output=True,
+            )
+        ),
+        transform_params={},
+    )
+    pg.set_guidance(
+        [[dict(name="target_pos", weight=1.0,
+               params=dict(target_pos=target.tolist()), agents=None)]]
+    )
+    bound_pg = _DecoderBoundPG(
+        pg, decoder=lambda z: ref_lstm.lstm_dec(z, torch.as_tensor(cond_np))
+    )
+
+    def p_mean_variance(x=None, t=None, aux_info=None, class_free_guide_w=0.0):
+        with torch.no_grad():
+            eps = ref_dm.model(x, aux_info, t)
+            mean, log_var = ref_dm.x_tminus1_mean_var(x, eps, t)
+        return mean, None, log_var, (None, None, None)
+
+    shim = _diffuser_sched_shim(
+        reference_env, p_mean_variance=p_mean_variance, pg=bound_pg,
+        guidance_optimization_params=dict(
+            optimizer="adam", lr=0.3, grad_steps=1, perturb_th=None
+        ),
+    )
+    dmod = _ref_diffuser_module(reference_env)
+    monkeypatch.setattr(torch, "randn_like", fake_randn_like)
+    aux_info = {"cond_feat": torch.as_tensor(cond_np)}
+    x_ref = torch.as_tensor(x_init.copy())
+    for i in reversed(range(N_TIMESTEPS)):
+        t = torch.full((B,), i, dtype=torch.long)
+        x_ref, _ = dmod.DiffuserModel.p_sample(
+            shim, x_ref, t, {"scene_index": torch.zeros(B, dtype=torch.long)},
+            aux_info=aux_info, num_samp=1,
+        )
+    assert drawn["i"] == N_TIMESTEPS
+    monkeypatch.undo()
+    x0_ref = x_ref.detach().numpy()
+
+    # --- ours: guided sample_traj scan under the same noise ---
+    def denoise_fn(x, c, t):
+        return ours_unet.apply({"params": unet_params}, x, c, t)
+
+    def decode_fn(z):
+        acts = our_lstm.apply(
+            {"params": lstm_params}, z, jnp.asarray(cond_np), method="decode"
+        )
+        traj = convert_action_to_state_and_action(
+            acts, jnp.asarray(curr), _our_dyn(), TrajNormalizer(),
+            descaled_output=True,
+        )
+        return traj.reshape(B, 1, T, 6)
+
+    ctx = GuidanceContext(
+        drivable_map=jnp.ones((B, 8, 8)),
+        raster_from_agent=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        extent=jnp.ones((B, 3)),
+        curr_speed=jnp.asarray(curr[:, 2]),
+        world_from_agent=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        scene_index=jnp.zeros((B,), jnp.int32),
+    )
+    gfn = make_perturbation_guidance(
+        ctx, [GuidanceSpec(TargetPosLoss(target_pos=target), 1.0)],
+        decode_fn, lr=0.3, grad_steps=1, perturb_th=None, sigma_schedule=None,
+    )
+    out = jax.jit(
+        lambda c: sample_traj(
+            denoise_fn, make_schedule(N_TIMESTEPS), rng0, c, T, D,
+            num_samp=1, guidance_fn=gfn,
+        )
+    )(jnp.asarray(cond_np))
+
+    x0_ours = np.asarray(out["pred_traj"])
+    # guidance must have steered the chain (compare vs the unguided sampler
+    # under the same noise)
+    out_plain = jax.jit(
+        lambda c: sample_traj(
+            denoise_fn, make_schedule(N_TIMESTEPS), rng0, c, T, D, num_samp=1
+        )
+    )(jnp.asarray(cond_np))
+    assert float(jnp.max(jnp.abs(out["pred_traj"] - out_plain["pred_traj"]))) > 0.1
+    np.testing.assert_allclose(x0_ours, x0_ref, rtol=1e-3, atol=2e-3)

@@ -41,8 +41,10 @@ def test_vae_train_step_sharded_matches_single():
 
 
 def test_simulate_sharded_over_agents():
-    """The closed-loop scan runs with the agent axis sharded over the mesh
-    (cross-device pairwise collision terms ride XLA collectives)."""
+    """The closed-loop scan runs with the agent axis sharded over the mesh;
+    the sim's pairwise collision METRIC (not a guidance gradient — that is
+    test_guided_sampling_sharded_matches_single's job) reduces across
+    devices to the single-device value."""
     pack = synthetic_scene_pack(seed=0, num_scenes=4, agents_per_scene=2, sim_steps=10)
     cfg = SimConfig(num_simulation_steps=10, n_step_action=5, raster_size=32, hist_frames=4)
     policy = constant_policy(0.0, 0.0)
@@ -144,21 +146,64 @@ def test_ppo_collect_and_update_sharded_matches_single(smoke_stages):
     )
 
 
-def test_guided_sampling_sharded_matches_single(smoke_stages):
-    """One guided DDPM sample (perturbation guidance in the scan) under dp
-    sharding == single device."""
+@pytest.mark.parametrize(
+    "pairwise",
+    [
+        # (id, scene_block, pairwise_impl, gradient rel-L2 tolerance): the
+        # "dot" Gram path's |a|^2+|b|^2-2ab cancellation amplifies
+        # reassociation noise ~10x vs the difference form (measured 3.6e-3
+        # vs <2e-3 rel-L2 on this seed)
+        ("blocked_dot", 4, "dot", 1e-2),  # Gram-matmul scene-block path
+        ("flat_diff", None, None, 2e-3),  # generic flat [B, B] path
+    ],
+    ids=lambda p: p[0],
+)
+def test_guided_sampling_sharded_matches_single(smoke_stages, pairwise):
+    """One guided DDPM sample with the FLAGSHIP pairwise guidance
+    (AgentCollisionLoss + MapCollisionLoss, the closed-loop config of
+    record) under dp sharding == single device. The agent axis is sharded
+    across all 8 devices, so the cross-agent pairwise collision distances
+    AND their guidance gradients (through the decoder VJP) must reduce
+    across devices — exactly where a wrong sharding would silently
+    diverge. Covers both the Gram-matmul scene-block ("dot") path and the
+    generic flat path."""
     from cld_tpu.algos.dm import sample_traj
-    from cld_tpu.guidance.losses import GuidanceContext, SpeedLimitLoss
+    from cld_tpu.guidance.losses import (
+        AgentCollisionLoss,
+        GuidanceContext,
+        MapCollisionLoss,
+    )
     from cld_tpu.guidance.perturbation import GuidanceSpec, make_perturbation_guidance
     from cld_tpu.models.vae import convert_action_to_state_and_action
     from cld_tpu.data.batch import get_current_states
     from cld_tpu.ops.dynamics import UnicycleParams
+    from cld_tpu.ops.geometry import world_from_agent_matrix
     from cld_tpu.ops.normalization import TrajNormalizer
 
+    _, scene_block, pairwise_impl, grad_rtol = pairwise
     cfg, batch, dm, dm_state = smoke_stages
     B = batch.batch_size
     dyn = UnicycleParams.from_config(cfg.algo.dynamics)
     normalizer = TrajNormalizer()
+    # 2 scenes x 4 agents, spaced ~2.5 m apart in world frame so the disk
+    # penalty (and its gradient) is active for several pairs
+    scene_index = jnp.asarray(np.arange(B) // 4, jnp.int32)
+    pos_w = jnp.asarray(
+        np.stack([(np.arange(B) % 4) * 2.5, (np.arange(B) // 4) * 60.0], -1),
+        jnp.float32,
+    )
+    world_from_agent = world_from_agent_matrix(pos_w, jnp.zeros((B,)))
+
+    if scene_block is not None:
+        agent_loss = AgentCollisionLoss(
+            scene_block=scene_block, pairwise_impl=pairwise_impl
+        )
+    else:
+        agent_loss = AgentCollisionLoss()
+    specs = [
+        GuidanceSpec(agent_loss, 10.0),
+        GuidanceSpec(MapCollisionLoss(), 1.0),
+    ]
 
     def run(batch, dm_state):
         enc_rng, samp_rng = jax.random.split(jax.random.key(9))
@@ -177,12 +222,11 @@ def test_guided_sampling_sharded_matches_single(smoke_stages):
             raster_from_agent=batch.raster_from_agent,
             extent=batch.extent,
             curr_speed=batch.curr_speed,
-            world_from_agent=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
-            scene_index=jnp.zeros((B,), jnp.int32),
+            world_from_agent=world_from_agent,
+            scene_index=scene_index,
         )
         gfn = make_perturbation_guidance(
-            ctx, [GuidanceSpec(SpeedLimitLoss(speed_limit=8.0), 1.0)], decode_fn,
-            lr=0.3, grad_steps=1,
+            ctx, specs, decode_fn, lr=0.3, grad_steps=1,
         )
         out = sample_traj(
             dm.denoise_fn(dm_state.params), dm.schedule, samp_rng,
@@ -191,10 +235,89 @@ def test_guided_sampling_sharded_matches_single(smoke_stages):
         )
         return decode_fn(out["pred_traj"])
 
+    # --- (a) the guidance GRADIENT, sharded == single, TIGHT ---
+    # This is the actual cross-device check: jax.grad of the weighted
+    # pairwise guidance cost through the decoder VJP — a dropped
+    # cross-device pair term would zero whole gradient rows. The Adam
+    # UPDATE cannot be compared tightly (one-step Adam is g/(|g|+eps):
+    # entries with |g| near eps amplify ulp reassociation noise to O(lr)
+    # — in the reference's torch.optim.Adam just the same), and the full
+    # guided scan below compounds that per step.
+    from cld_tpu.guidance.perturbation import compute_guidance_loss
+    from cld_tpu.guidance.losses import prepack_drivable, prepack_map_bbox
+
+    def guidance_grad(batch, dm_state):
+        enc_rng, _ = jax.random.split(jax.random.key(9))
+        _, aux = dm.encode(batch, enc_rng)
+        curr = get_current_states(batch)
+
+        def decode_fn(z):
+            acts = dm.vae.apply(dm.vae_variables, z, aux["cond_feat"], method="decode")
+            traj = convert_action_to_state_and_action(
+                acts, curr, dyn, normalizer, descaled_output=True
+            )
+            return traj.reshape(B, 1, *traj.shape[1:])
+
+        ctx = prepack_map_bbox(prepack_drivable(GuidanceContext(
+            drivable_map=batch.drivable_map,
+            raster_from_agent=batch.raster_from_agent,
+            extent=batch.extent,
+            curr_speed=batch.curr_speed,
+            world_from_agent=world_from_agent,
+            scene_index=scene_index,
+        )))
+        z = jax.random.normal(
+            jax.random.key(3), (B, cfg.algo.horizon, cfg.algo.vae.latent_size)
+        )
+        return jax.grad(
+            lambda zz: compute_guidance_loss(decode_fn(zz), ctx, specs)[0]
+        )(z)
+
+    g_single = jax.jit(guidance_grad)(batch, dm_state)
+    mesh = make_mesh()
+    g_sharded = jax.jit(guidance_grad)(
+        shard_batch(batch, mesh), replicate(dm_state, mesh)
+    )
+    g_scale = float(jnp.max(jnp.abs(g_single)))
+    assert g_scale > 1e-4  # pairwise rules actually fired
+    # norm-based bound, not per-entry allclose: the "dot" path's
+    # |a|^2+|b|^2-2ab cancellation amplifies cross-device reassociation
+    # noise to ~1e-3-relative distances for close pairs (documented in
+    # AgentCollisionLoss.pairwise_impl), and near-tie disk argmins can
+    # reroute individual tiny entries. A dropped cross-device pair term
+    # would zero whole rows — orders of magnitude above these bounds.
+    gs, g0 = np.asarray(g_sharded), np.asarray(g_single)
+    rel_l2 = np.linalg.norm(gs - g0) / np.linalg.norm(g0)
+    assert rel_l2 < grad_rtol, rel_l2
+    assert float(np.max(np.abs(gs - g0))) < 2e-2 * g_scale
+
+    # --- (b) full guided scan: sharded drift stays far below the guidance
+    # effect (a dropped cross-device pair term would shift trajectories by
+    # O(effect); reassociation chaos measured ~3% of it) ---
     traj_single = jax.jit(run)(batch, dm_state)
 
-    mesh = make_mesh()
+    def run_unguided(batch, dm_state):
+        enc_rng, samp_rng = jax.random.split(jax.random.key(9))
+        _, aux = dm.encode(batch, enc_rng)
+        curr = get_current_states(batch)
+        out = sample_traj(
+            dm.denoise_fn(dm_state.params), dm.schedule, samp_rng,
+            aux["cond_feat"], cfg.algo.horizon, cfg.algo.vae.latent_size,
+            num_samp=1,
+        )
+        acts = dm.vae.apply(
+            dm.vae_variables, out["pred_traj"], aux["cond_feat"], method="decode"
+        )
+        traj = convert_action_to_state_and_action(
+            acts, curr, dyn, normalizer, descaled_output=True
+        )
+        return traj.reshape(B, 1, *traj.shape[1:])
+
+    traj_unguided = jax.jit(run_unguided)(batch, dm_state)
+    effect = float(jnp.max(jnp.abs(traj_single - traj_unguided)))
+    assert effect > 1e-2  # guidance visibly steered the sample
+
     traj_sharded = jax.jit(run)(shard_batch(batch, mesh), replicate(dm_state, mesh))
-    np.testing.assert_allclose(
-        np.asarray(traj_sharded), np.asarray(traj_single), atol=2e-4
-    )
+    assert np.all(np.isfinite(np.asarray(traj_sharded)))
+    drift = float(jnp.max(jnp.abs(traj_sharded - traj_single)))
+    assert drift < 0.15 * effect, (drift, effect)
