@@ -301,6 +301,138 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, T // k, step, (zero, zero, zero, zero))
 
 
+def _bwd_kernel_v2(
+    dy_ref, xg1_ref, h0_ref,
+    wh1_ref, w2_ref, b2_ref, wh1t_ref, w2t_ref,
+    h1c1_any, yc2_any,
+    dg1_ref, dg2_ref,
+    st12, st34, sems,
+):
+    """Reverse sweep, v2 blocking: the saved state sequences arrive as two
+    FULL [T, Bp, 2H] arrays (h1..c1 and y..c2 lane-paired) in
+    compiler-chosen memory (pl.ANY) and the kernel DMAs its own
+    [T, bb, 2H] slice into single-buffered VMEM scratch. v1 streamed them
+    as grid blocks, which Mosaic double-buffers — at bb=64 that was a
+    17.9 MB scoped stack (> the 16 MB limit), forcing bb=32 and FOUR
+    sequential grid programs; the scratch layout fits bb=64 in ~13 MB,
+    halving the latency-bound sequential program count. The measured
+    guided-step cost of this backward at v1 blocking was 0.115 ms/step vs
+    0.022 for the forward (TPU trace, round 4). States are paired to 2H =
+    128 lanes because Mosaic requires a BATCH-SLICED ANY->VMEM DMA to have
+    a 128-aligned minor dim (H = 64 alone fails to compile; full-array
+    copies are exempt — scripts/micro_dma_probe.py isolates all 4 cases)."""
+    b = pl.program_id(0)
+    T, BB, H4 = xg1_ref.shape
+    H = H4 // 4
+    f32 = jnp.float32
+
+    # one strided DMA per paired state sequence into scratch; overlapping
+    # starts, single wait barrier
+    copies = [
+        pltpu.make_async_copy(src.at[:, pl.ds(b * BB, BB), :], dst, sems.at[i])
+        for i, (src, dst) in enumerate([(h1c1_any, st12), (yc2_any, st34)])
+    ]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
+    wh1 = wh1_ref[...]
+    w2 = w2_ref[...]
+    mm = lambda a, w: jnp.dot(a.astype(w.dtype), w, preferred_element_type=f32)
+    b2 = b2_ref[...].astype(f32)
+    wh1t = wh1t_ref[...]
+    w2t = w2t_ref[...]
+    h0 = h0_ref[...].astype(f32)
+    zero = jnp.zeros_like(h0)
+
+    def load(ref, t):
+        return jnp.reshape(ref[pl.ds(t, 1)], ref.shape[1:]).astype(f32)
+
+    def cell(t, carry):
+        dh1c, dc1c, dh2c, dc2c = carry
+        tprev = jnp.maximum(t - 1, 0)
+        first = t == 0
+        p12p = load(st12, tprev)  # [BB, 2H] = h1 .. c1
+        p34p = load(st34, tprev)  # [BB, 2H] = y  .. c2
+        h1p = jnp.where(first, h0, p12p[:, :H])
+        c1p = jnp.where(first, zero, p12p[:, H:])
+        h2p = jnp.where(first, h0, p34p[:, :H])
+        c2p = jnp.where(first, zero, p34p[:, H:])
+        p12t = load(st12, t)
+        h1t = p12t[:, :H]
+        c1t = p12t[:, H:]
+        c2t = load(st34, t)[:, H:]
+
+        pre1 = jnp.reshape(xg1_ref[pl.ds(t, 1)], (BB, H4)).astype(f32) + mm(h1p, wh1)
+        i1, f1, g1, o1 = _gate_act(pre1, H)
+        pre2 = mm(jnp.concatenate([h1t, h2p], -1), w2) + b2
+        i2, f2, g2, o2 = _gate_act(pre2, H)
+
+        dh2 = jnp.reshape(dy_ref[pl.ds(t, 1)], (BB, H)).astype(f32) + dh2c
+        tc2 = jnp.tanh(c2t)
+        do2 = dh2 * tc2
+        dc2 = dc2c + dh2 * o2 * (1.0 - tc2 * tc2)
+        dg2 = jnp.concatenate(
+            [
+                dc2 * g2 * i2 * (1.0 - i2),
+                dc2 * c2p * f2 * (1.0 - f2),
+                dc2 * i2 * (1.0 - g2 * g2),
+                do2 * o2 * (1.0 - o2),
+            ],
+            axis=-1,
+        )
+        dxh = mm(dg2, w2t)
+
+        dh1 = dxh[:, :H] + dh1c
+        tc1 = jnp.tanh(c1t)
+        do1 = dh1 * tc1
+        dc1 = dc1c + dh1 * o1 * (1.0 - tc1 * tc1)
+        dg1 = jnp.concatenate(
+            [
+                dc1 * g1 * i1 * (1.0 - i1),
+                dc1 * c1p * f1 * (1.0 - f1),
+                dc1 * i1 * (1.0 - g1 * g1),
+                do1 * o1 * (1.0 - o1),
+            ],
+            axis=-1,
+        )
+        dt = dg1_ref.dtype
+        dg1_ref[pl.ds(t, 1)] = jnp.reshape(dg1.astype(dt), (1, BB, H4))
+        dg2_ref[pl.ds(t, 1)] = jnp.reshape(dg2.astype(dt), (1, BB, H4))
+        return (
+            mm(dg1, wh1t),
+            dc1 * f1,
+            dxh[:, H:],
+            dc2 * f2,
+        )
+
+    k = _unroll_k(T)
+
+    def step(kb, carry):
+        t0 = T - 1 - kb * k
+        for i in range(k):
+            carry = cell(t0 - i, carry)
+        return carry
+
+    jax.lax.fori_loop(0, T // k, step, (zero, zero, zero, zero))
+
+
+def _pick_bb_bwd_v2(B: int, T: int, H: int, itemsize: int) -> int:
+    """bb for the v2 backward: double-buffered streams are dy [T, bb, H] +
+    xg1 [T, bb, 4H] + dg1/dg2 [T, bb, 4H] (13H per step x2 buffers) plus
+    single-buffered scratch 4H per step; budget below the 16 MB scoped
+    stack with headroom for per-step temporaries."""
+    budget = int(
+        float(os.environ.get("CLD_LSTM_VMEM_MB_BWD2", 14)) * (1 << 20)
+    )
+    per_b = T * (2 * 13 * H + 4 * H) * itemsize
+    bb = 128
+    while bb > 8 and (bb > B or bb * per_b > budget):
+        bb //= 2
+    return bb
+
+
 def _pick_bb(B: int, T: int, H: int, itemsize: int, bwd: bool) -> int:
     """Largest power-of-two batch block whose VMEM footprint fits the block
     budget (CLD_LSTM_VMEM_MB_{FWD,BWD} of single-buffered block bytes; Mosaic
@@ -394,42 +526,88 @@ def _core_bwd(interpret, res, dy):
     B, T, H4 = xg1.shape
     H = H4 // 4
     f32 = jnp.float32
-    bb = _pick_bb(B, T, H, xg1.dtype.itemsize, bwd=True)
-    arrs, Bp = _pad_batch([dy, xg1, h0, h1s, c1s, y, c2s], B, bb)
-    dyp, xg1p, h0p, h1p, c1p, yp, c2p = arrs
-    seqH = _seq_specs(T, bb, H)
-    seqG = _seq_specs(T, bb, H4)
     tseq = lambda a: jnp.swapaxes(a, 0, 1)
-    dg1, dg2 = pl.pallas_call(
-        _bwd_kernel,
-        grid=(Bp // bb,),
-        in_specs=[seqH, seqG]
-        + [pl.BlockSpec((bb, H), lambda b: (b, 0), memory_space=pltpu.VMEM)]
-        + [seqH] * 4
-        + [
-            _mat_spec(Wh1.shape),
-            _mat_spec(W2.shape),
-            _mat_spec((1, H4)),
-            _mat_spec((H4, H)),
-            _mat_spec((H4, 2 * H)),
-        ],
-        out_specs=[seqG, seqG],
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, H4), xg1.dtype)] * 2,
-        interpret=interpret,
-    )(
-        tseq(dyp),
-        tseq(xg1p),
-        h0p,
-        tseq(h1p),
-        tseq(c1p),
-        tseq(yp),
-        tseq(c2p),
-        Wh1,
-        W2,
-        b2.reshape(1, H4),
-        jnp.swapaxes(Wh1, 0, 1),
-        jnp.swapaxes(W2, 0, 1),
-    )
+    # v2 (default on TPU): state sequences stay in compiler-chosen memory
+    # and each program DMAs its slice into single-buffered scratch, fitting
+    # bb=64 where v1's double-buffered streams forced bb=32 (see
+    # _bwd_kernel_v2 docstring). CLD_LSTM_BWD_IMPL=v1 is the A/B knob.
+    impl = os.environ.get("CLD_LSTM_BWD_IMPL", "v2")
+    if impl == "v2":
+        bb = _pick_bb_bwd_v2(B, T, H, xg1.dtype.itemsize)
+        arrs, Bp = _pad_batch([dy, xg1, h0, h1s, c1s, y, c2s], B, bb)
+        dyp, xg1p, h0p, h1p, c1p, yp, c2p = arrs
+        # lane-pair the state seqs to a 128-aligned minor dim (see
+        # _bwd_kernel_v2 docstring): [T, Bp, 2H] h1..c1 and y..c2
+        h1c1 = jnp.concatenate([h1p, c1p], axis=-1)
+        yc2 = jnp.concatenate([yp, c2p], axis=-1)
+        seqG = _seq_specs(T, bb, H4)
+        anyspec = pl.BlockSpec(memory_space=pl.ANY)
+        st = pltpu.VMEM((T, bb, 2 * H), xg1.dtype)
+        dg1, dg2 = pl.pallas_call(
+            _bwd_kernel_v2,
+            grid=(Bp // bb,),
+            in_specs=[_seq_specs(T, bb, H), seqG]
+            + [pl.BlockSpec((bb, H), lambda b: (b, 0), memory_space=pltpu.VMEM)]
+            + [
+                _mat_spec(Wh1.shape),
+                _mat_spec(W2.shape),
+                _mat_spec((1, H4)),
+                _mat_spec((H4, H)),
+                _mat_spec((H4, 2 * H)),
+            ]
+            + [anyspec] * 2,
+            out_specs=[seqG, seqG],
+            out_shape=[jax.ShapeDtypeStruct((T, Bp, H4), xg1.dtype)] * 2,
+            scratch_shapes=[st, st, pltpu.SemaphoreType.DMA((2,))],
+            interpret=interpret,
+        )(
+            tseq(dyp),
+            tseq(xg1p),
+            h0p,
+            Wh1,
+            W2,
+            b2.reshape(1, H4),
+            jnp.swapaxes(Wh1, 0, 1),
+            jnp.swapaxes(W2, 0, 1),
+            tseq(h1c1),
+            tseq(yc2),
+        )
+    else:
+        bb = _pick_bb(B, T, H, xg1.dtype.itemsize, bwd=True)
+        arrs, Bp = _pad_batch([dy, xg1, h0, h1s, c1s, y, c2s], B, bb)
+        dyp, xg1p, h0p, h1p, c1p, yp, c2p = arrs
+        seqH = _seq_specs(T, bb, H)
+        seqG = _seq_specs(T, bb, H4)
+        dg1, dg2 = pl.pallas_call(
+            _bwd_kernel,
+            grid=(Bp // bb,),
+            in_specs=[seqH, seqG]
+            + [pl.BlockSpec((bb, H), lambda b: (b, 0), memory_space=pltpu.VMEM)]
+            + [seqH] * 4
+            + [
+                _mat_spec(Wh1.shape),
+                _mat_spec(W2.shape),
+                _mat_spec((1, H4)),
+                _mat_spec((H4, H)),
+                _mat_spec((H4, 2 * H)),
+            ],
+            out_specs=[seqG, seqG],
+            out_shape=[jax.ShapeDtypeStruct((T, Bp, H4), xg1.dtype)] * 2,
+            interpret=interpret,
+        )(
+            tseq(dyp),
+            tseq(xg1p),
+            h0p,
+            tseq(h1p),
+            tseq(c1p),
+            tseq(yp),
+            tseq(c2p),
+            Wh1,
+            W2,
+            b2.reshape(1, H4),
+            jnp.swapaxes(Wh1, 0, 1),
+            jnp.swapaxes(W2, 0, 1),
+        )
     dg1 = jnp.swapaxes(dg1, 0, 1)[:B].astype(f32)  # [B, T, 4H]
     dg2 = jnp.swapaxes(dg2, 0, 1)[:B].astype(f32)
 
