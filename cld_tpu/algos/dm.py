@@ -104,11 +104,18 @@ def sample_traj(
     x_init = jax.random.normal(init_rng, (BN, horizon, latent_size), jnp.float32)
 
     steps = jnp.arange(schedule.n_timesteps - 1, -1, -1)
-    step_rngs = jax.random.split(rng, schedule.n_timesteps)
+    # Per-step Gaussians are drawn OUTSIDE the scan from the same per-step
+    # keys (bitwise-identical to drawing inside the body), so the threefry
+    # hash runs once as one batched op instead of sitting on the scan's
+    # per-step critical path; [n_steps, BN, T, D] f32 is ~10 MB at bench
+    # scale and streams back one ~100 KB slice per step.
+    step_noises = jax.vmap(
+        lambda k: jax.random.normal(k, (BN, horizon, latent_size), jnp.float32)
+    )(jax.random.split(rng, schedule.n_timesteps))
 
     def body(carry, inp):
         x, x1, logp = carry
-        i, step_rng = inp
+        i, noise = inp
         t = jnp.full((BN,), i, dtype=jnp.int32)
         eps_hat = denoise_fn(x, cond, t)
         mean, log_var = posterior_mean_logvar(schedule, x, eps_hat, t)
@@ -130,7 +137,6 @@ def sample_traj(
             else:
                 mean = jax.lax.cond(apply, guided_mean, lambda m: m, mean)
         sigma = jnp.exp(0.5 * log_var)
-        noise = jax.random.normal(step_rng, x.shape, jnp.float32)
         nonzero = (i != 0).astype(jnp.float32)
         x_next = (mean + nonzero * sigma * noise).astype(jnp.float32)
 
@@ -145,7 +151,7 @@ def sample_traj(
     # unroll > 1 amortizes per-iteration loop overhead and lets XLA fuse
     # across denoise steps — worthwhile on TPU where each step is small;
     # costs proportionally more compile time (keep 1 on slow-compile links)
-    (x0, x1, logp), _ = jax.lax.scan(body, init, (steps, step_rngs), unroll=unroll)
+    (x0, x1, logp), _ = jax.lax.scan(body, init, (steps, step_noises), unroll=unroll)
 
     return {"pred_traj": x0, "x1": x1, "log_prob_final": logp, "cond_feat": cond}
 

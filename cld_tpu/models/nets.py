@@ -16,6 +16,7 @@ import math
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -69,6 +70,51 @@ class SinusoidalPosEmb(nn.Module):
         return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm over [B, T, C] with a TPU-shaped stats pass.
+
+    Numerics match nn.GroupNorm / torch.nn.GroupNorm (f32 statistics,
+    E[x^2] - E[x]^2 variance clamped at 0, epsilon inside the rsqrt) up to
+    f32 summation order; parameters are the same {scale, bias} [C] leaves,
+    so checkpoints are interchangeable with the nn.GroupNorm layout.
+
+    Why not nn.GroupNorm: its stats reduce over (T, C/G) — a partial
+    CROSS-LANE reduction over 32-lane channel groups that Mosaic lowers
+    ~3x off the bandwidth floor; at 18 GroupNorms per denoiser call those
+    convert+reduce fusions were ~50% of the UNet's device time
+    (scripts/micro_denoiser.py trace). Here the big pass reduces over T
+    only (sublanes — one variadic sum/sumsq sweep of x), and the awkward
+    cross-lane group fold happens on the tiny [B, C] moments instead.
+    """
+
+    num_groups: int = 8
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, C = x.shape
+        G = self.num_groups
+        Cg = C // G
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        s = jnp.sum(x32, axis=1)  # [B, C] — one fused read of x for both
+        ss = jnp.sum(x32 * x32, axis=1)
+        n = T * Cg
+        mean = jnp.sum(s.reshape(B, G, Cg), axis=-1) / n  # [B, G]
+        var = jnp.maximum(
+            jnp.sum(ss.reshape(B, G, Cg), axis=-1) / n - mean * mean, 0.0
+        )
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        mean_c = jnp.repeat(mean, Cg, axis=-1)  # [B, C]
+        inv_c = jnp.repeat(inv, Cg, axis=-1)
+        y = (x32 - mean_c[:, None, :]) * (
+            inv_c[:, None, :] * scale[None, None, :]
+        ) + bias
+        return y.astype(self.dtype)
+
+
 class Conv1dBlock(nn.Module):
     """Conv1d -> GroupNorm(8) -> Mish over [B, T, C]
     (diffuser_helpers.py:50-67)."""
@@ -88,7 +134,7 @@ class Conv1dBlock(nn.Module):
             name="conv",
         )(x)
         # epsilon matches torch.nn.GroupNorm (1e-5); flax defaults to 1e-6
-        x = nn.GroupNorm(
+        x = FusedGroupNorm(
             num_groups=self.n_groups, epsilon=1e-5, dtype=self.dtype, name="norm"
         )(x)
         return mish(x)
