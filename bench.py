@@ -725,24 +725,32 @@ def main():
 
     dm_trainer, dm_state = build_flagship(cfg, compute_dtype, batch)
 
-    nfe_per_sec, guided_mfu = bench_open_loop(
-        cfg, dm_trainer, dm_state, batch, guided=True
-    )
-    PARTIAL["_headline_nfe_per_sec"] = round(nfe_per_sec, 1)
-    if guided_mfu is not None:
-        PARTIAL["guided_pipeline_mfu"] = round(guided_mfu, 4)
-    log(f"open-loop guided NFE/s = {nfe_per_sec:.0f} (mfu={guided_mfu})")
+    nfe_per_sec = 0.0
+    try:
+        nfe_per_sec, guided_mfu = bench_open_loop(
+            cfg, dm_trainer, dm_state, batch, guided=True
+        )
+        if guided_mfu is not None:
+            PARTIAL["guided_pipeline_mfu"] = round(guided_mfu, 4)
+        log(f"open-loop guided NFE/s = {nfe_per_sec:.0f} (mfu={guided_mfu})")
+    except Exception as e:
+        log(f"HEADLINE guided phase failed: {e}")
+        PARTIAL["error"] = f"guided headline phase failed: {e}"[:500]
 
-    unguided_nfe, unguided_mfu = bench_open_loop(
-        cfg, dm_trainer, dm_state, batch, guided=False
-    )
-    log(f"open-loop unguided NFE/s = {unguided_nfe:.0f} (mfu={unguided_mfu})")
-    PARTIAL["unguided_nfe_per_sec"] = round(unguided_nfe, 1)
-    PARTIAL["vs_unguided_baseline"] = round(
-        unguided_nfe / REFERENCE_UNGUIDED_NFE_PER_SEC_ESTIMATE, 3
-    )
-    if unguided_mfu is not None:
-        PARTIAL["unguided_pipeline_mfu"] = round(unguided_mfu, 4)
+    try:
+        unguided_nfe, unguided_mfu = bench_open_loop(
+            cfg, dm_trainer, dm_state, batch, guided=False
+        )
+        log(f"open-loop unguided NFE/s = {unguided_nfe:.0f} (mfu={unguided_mfu})")
+        PARTIAL["unguided_nfe_per_sec"] = round(unguided_nfe, 1)
+        PARTIAL["vs_unguided_baseline"] = round(
+            unguided_nfe / REFERENCE_UNGUIDED_NFE_PER_SEC_ESTIMATE, 3
+        )
+        if unguided_mfu is not None:
+            PARTIAL["unguided_pipeline_mfu"] = round(unguided_mfu, 4)
+    except Exception as e:
+        log(f"unguided phase failed (non-fatal): {e}")
+        PARTIAL["unguided_phase"] = f"failed: {e}"[:300]
 
     try:
         PARTIAL.update(bench_denoiser(cfg, dm_trainer, dm_state))
@@ -760,68 +768,76 @@ def main():
         else:
             PARTIAL["ddim50_phase"] = "skipped: deadline"
 
-    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
-        if time_left() > 420:
-            PARTIAL.update(bench_train_steps(cfg, dm_trainer, dm_state, batch))
-            log(f"train-step throughput captured")
-        else:
-            PARTIAL["train_phase"] = "skipped: deadline"
-        if time_left() > 420:
-            PARTIAL.update(bench_ppo(cfg, dm_trainer, dm_state, batch))
-        else:
-            PARTIAL["ppo_phase"] = "skipped: deadline"
-    if not SKIP_CLOSED_LOOP:
-        if time_left() > 600:
-            cl_rate, cl_wall = bench_closed_loop(
-                cfg, dm_trainer, dm_state, CL_SCENES, CL_AGENTS
-            )
-            log(f"closed-loop agent-steps/s = {cl_rate:.0f} (wall {cl_wall:.2f}s)")
-            PARTIAL["closed_loop_agent_steps_per_sec"] = round(cl_rate, 1)
-            PARTIAL["closed_loop_config"] = (
-                f"{CL_SCENES} scenes x {CL_AGENTS} agents, {CL_STEPS} frames, "
-                f"replan/5, guided DDPM-100, raster 224"
-            )
-        else:
-            PARTIAL["closed_loop_phase"] = "skipped: deadline"
-        # BASELINE-spec scale: 50 agents per scene
-        if not SKIP_CL50 and time_left() > 600:
-            cl50_rate, cl50_wall = bench_closed_loop(
-                cfg, dm_trainer, dm_state, CL50_SCENES, CL50_AGENTS
-            )
-            log(
-                f"closed-loop 50-agent agent-steps/s = {cl50_rate:.0f} "
-                f"(wall {cl50_wall:.2f}s)"
-            )
-            PARTIAL["closed_loop_50agent_steps_per_sec"] = round(cl50_rate, 1)
-            PARTIAL["closed_loop_50agent_config"] = (
-                f"{CL50_SCENES} scenes x {CL50_AGENTS} agents, {CL_STEPS} "
-                f"frames, replan/5, guided DDPM-100, raster 224"
-            )
-        elif not SKIP_CL50:
-            PARTIAL["closed_loop_50agent_phase"] = "skipped: deadline"
-        # the reference's full per-replan sampling cadence of record:
-        # num_action_samples=5 guided samples + guidance-loss filtration
-        # (`scene_edit_config.py:64`)
-        if not SKIP_CL50 and not SKIP_CL_5SAMP and time_left() > 600:
-            cl5_rate, cl5_wall = bench_closed_loop(
-                cfg, dm_trainer, dm_state, CL50_SCENES, CL50_AGENTS,
-                num_samp=5,
-            )
-            log(
-                f"closed-loop 50-agent 5-samp agent-steps/s = {cl5_rate:.0f} "
-                f"(wall {cl5_wall:.2f}s)"
-            )
-            PARTIAL["closed_loop_50agent_5samp_steps_per_sec"] = round(cl5_rate, 1)
-            PARTIAL["closed_loop_50agent_5samp_config"] = (
-                f"{CL50_SCENES} scenes x {CL50_AGENTS} agents, {CL_STEPS} "
-                f"frames, replan/5, 5 guided DDPM-100 samples + guidance-"
-                f"loss filtration per replan (scene_edit_config cadence of "
-                f"record), raster 224"
-            )
-        elif not SKIP_CL50 and not SKIP_CL_5SAMP:
-            PARTIAL["closed_loop_50agent_5samp_phase"] = "skipped: deadline"
+    # Every phase below degrades INDIVIDUALLY on failure — one compile error
+    # or tunnel hiccup must cost only its own key, never the whole artifact
+    # (round 4's unguarded 5-samp phase turned a kernel compile failure into
+    # rc=5 and destroyed every number of the round).
+    def run_phase(name, fn, min_time=420):
+        if time_left() <= min_time:
+            PARTIAL[f"{name}_phase"] = "skipped: deadline"
+            return
+        try:
+            fn()
+        except Exception as e:
+            log(f"{name} phase failed (non-fatal): {e}")
+            PARTIAL[f"{name}_phase"] = f"failed: {type(e).__name__}: {e}"[:500]
 
-    PARTIAL.pop("_headline_nfe_per_sec", None)
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        run_phase(
+            "train",
+            lambda: PARTIAL.update(bench_train_steps(cfg, dm_trainer, dm_state, batch)),
+        )
+        run_phase(
+            "ppo",
+            lambda: PARTIAL.update(bench_ppo(cfg, dm_trainer, dm_state, batch)),
+        )
+
+    def cl_phase(key, cfg_key, n_scenes, n_agents, num_samp, cfg_note):
+        rate, wall = bench_closed_loop(
+            cfg, dm_trainer, dm_state, n_scenes, n_agents, num_samp=num_samp
+        )
+        log(f"closed-loop {key} agent-steps/s = {rate:.0f} (wall {wall:.2f}s)")
+        PARTIAL[f"{key}_steps_per_sec"] = round(rate, 1)
+        PARTIAL[cfg_key] = (
+            f"{n_scenes} scenes x {n_agents} agents, {CL_STEPS} frames, "
+            f"replan/5, {cfg_note}, raster 224"
+        )
+
+    if not SKIP_CLOSED_LOOP:
+        run_phase(
+            "closed_loop",
+            lambda: cl_phase(
+                "closed_loop_agent", "closed_loop_config", CL_SCENES,
+                CL_AGENTS, 1, "guided DDPM-100",
+            ),
+            min_time=600,
+        )
+        if not SKIP_CL50:
+            # BASELINE-spec scale: 50 agents per scene
+            run_phase(
+                "closed_loop_50agent",
+                lambda: cl_phase(
+                    "closed_loop_50agent", "closed_loop_50agent_config",
+                    CL50_SCENES, CL50_AGENTS, 1, "guided DDPM-100",
+                ),
+                min_time=600,
+            )
+            if not SKIP_CL_5SAMP:
+                # the reference's full per-replan sampling cadence of record:
+                # num_action_samples=5 guided samples + guidance-loss
+                # filtration (`scene_edit_config.py:64`)
+                run_phase(
+                    "closed_loop_50agent_5samp",
+                    lambda: cl_phase(
+                        "closed_loop_50agent_5samp",
+                        "closed_loop_50agent_5samp_config",
+                        CL50_SCENES, CL50_AGENTS, 5,
+                        "5 guided DDPM-100 samples + guidance-loss filtration "
+                        "per replan (scene_edit_config cadence of record)",
+                    ),
+                    min_time=600,
+                )
+
     emit(
         {
             "metric": "guided_sampling_nfe_per_sec",

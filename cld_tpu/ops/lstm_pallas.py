@@ -166,7 +166,13 @@ def lstm2_core_ref(xg1, h0, Wh1, W2, b2):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(xg1_ref, h0_ref, wh1_ref, w2_ref, b2_ref, y_ref, h1_ref, c1_ref, c2_ref):
+def _fwd_kernel(xg1_ref, h0_ref, wh1_ref, w2_ref, b2_ref, h1c1_ref, yc2_ref):
+    """Forward sweep. The four [*, H] state sequences are emitted LANE-PAIRED
+    as two [T, BB, 2H] arrays (h1..c1 and y..c2): H = 64 < the 128-lane tile,
+    so four separate outputs would each pad to 128 lanes and stream 2x the
+    bytes through the scoped-VMEM stack (the round-4 B=640 compile OOM —
+    see `scoped_vmem_bytes`). The pairing is also exactly the layout the v2
+    backward DMAs, so the VJP consumes the residuals with zero relayout."""
     T, BB, H4 = xg1_ref.shape
     H = H4 // 4
     f32 = jnp.float32
@@ -190,11 +196,13 @@ def _fwd_kernel(xg1_ref, h0_ref, wh1_ref, w2_ref, b2_ref, y_ref, h1_ref, c1_ref,
         i2, f2, g2, o2 = _gate_act(pre2, H)
         c2n = f2 * c2 + i2 * g2
         h2n = o2 * jnp.tanh(c2n)
-        dt = y_ref.dtype
-        y_ref[pl.ds(t, 1)] = jnp.reshape(h2n.astype(dt), (1, BB, H))
-        h1_ref[pl.ds(t, 1)] = jnp.reshape(h1n.astype(dt), (1, BB, H))
-        c1_ref[pl.ds(t, 1)] = jnp.reshape(c1n.astype(dt), (1, BB, H))
-        c2_ref[pl.ds(t, 1)] = jnp.reshape(c2n.astype(dt), (1, BB, H))
+        dt = h1c1_ref.dtype
+        h1c1_ref[pl.ds(t, 1)] = jnp.reshape(
+            jnp.concatenate([h1n, c1n], axis=-1).astype(dt), (1, BB, 2 * H)
+        )
+        yc2_ref[pl.ds(t, 1)] = jnp.reshape(
+            jnp.concatenate([h2n, c2n], axis=-1).astype(dt), (1, BB, 2 * H)
+        )
         return h1n, c1n, h2n, c2n
 
     k = _unroll_k(T)
@@ -418,45 +426,114 @@ def _bwd_kernel_v2(
     jax.lax.fori_loop(0, T // k, step, (zero, zero, zero, zero))
 
 
-def _pick_bb_bwd_v2(B: int, T: int, H: int, itemsize: int) -> int:
-    """bb for the v2 backward: double-buffered streams are dy [T, bb, H] +
-    xg1 [T, bb, 4H] + dg1/dg2 [T, bb, 4H] (13H per step x2 buffers) plus
-    single-buffered scratch 4H per step; budget below the 16 MB scoped
-    stack with headroom for per-step temporaries."""
-    budget = int(
-        float(os.environ.get("CLD_LSTM_VMEM_MB_BWD2", 14)) * (1 << 20)
-    )
-    per_b = T * (2 * 13 * H + 4 * H) * itemsize
+# ---------------------------------------------------------------------------
+# scoped-VMEM footprint model + block choosers
+# ---------------------------------------------------------------------------
+#
+# Mosaic compiles each pallas_call against a 16 MiB scoped-VMEM stack; blow
+# it and the whole enclosing jit FAILS TO COMPILE — on this box that means
+# a dead bench artifact (round 4: "Scoped allocation with size 19.50M and
+# limit 16.00M" at the ddim50/5-samp decode batch 640). The model below is
+# calibrated to reproduce Mosaic's reported scoped sizes EXACTLY on the two
+# observed data points:
+#
+#   * fwd  B=640 bb=128 grid=5 (pre-pairing, 4 separate [T,bb,64] outputs):
+#     streams double-buffered = 19.50 MiB == the round-4 crash report;
+#   * bwd-v1 B=128 bb=64 grid=2: streams = 17.88 MiB == the compile failure
+#     quoted in the v1 docstring.
+#
+# Rules recovered from those points: every GRID-STREAMED in/out block is
+# counted at its tile-padded size (minor dim rounded up to the 128-lane
+# tile, second-minor to the 8-sublane (f32) / 16-sublane (bf16) tile) and
+# DOUBLE-buffered whenever the grid has more than one program (Mosaic
+# pipelines the next block's DMA behind the current compute); blocks with a
+# constant index map (weights) and `pltpu.VMEM` scratch are single-counted
+# and small here. tests/test_vmem_budget.py asserts every batch size the
+# artifacts generate (dryrun 16, bench 128, closed-loop 128, ddim50/5-samp
+# 640) fits under the limit for all three kernels, so this failure class is
+# caught on CPU, off-chip, at test time.
+
+SCOPED_VMEM_LIMIT = 16 * (1 << 20)
+
+
+def _ru(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _blk_bytes(shape, itemsize: int) -> int:
+    """Tile-padded VMEM bytes of one block: minor dim -> 128 lanes,
+    second-minor -> 8 (f32) / 16 (bf16/2-byte) sublanes."""
+    *lead, s, l = shape
+    n = 1
+    for d in lead:
+        n *= d
+    sub = 8 if itemsize >= 4 else 16
+    return n * _ru(s, sub) * _ru(l, 128) * itemsize
+
+
+def scoped_vmem_bytes(
+    B: int, T: int, H: int, itemsize: int, kind: str, bb: int
+) -> int:
+    """Modeled Mosaic scoped-VMEM stack bytes for one kernel at batch block
+    ``bb``. kind: 'fwd' | 'bwd_v1' | 'bwd_v2'."""
+    grid = _ru(B, bb) // bb
+    mult = 2 if grid > 1 else 1
+    H4, H2 = 4 * H, 2 * H
+    h0 = _blk_bytes((bb, H), itemsize)
+    if kind == "fwd":
+        streams = _blk_bytes((T, bb, H4), itemsize) + 2 * _blk_bytes(
+            (T, bb, H2), itemsize
+        )
+        scratch = 0
+    elif kind == "bwd_v1":
+        streams = (
+            _blk_bytes((T, bb, H), itemsize)  # dy
+            + _blk_bytes((T, bb, H4), itemsize)  # xg1
+            + 4 * _blk_bytes((T, bb, H), itemsize)  # state seqs
+            + 2 * _blk_bytes((T, bb, H4), itemsize)  # dgates out
+        )
+        scratch = 0
+    elif kind == "bwd_v2":
+        streams = (
+            _blk_bytes((T, bb, H), itemsize)  # dy
+            + _blk_bytes((T, bb, H4), itemsize)  # xg1
+            + 2 * _blk_bytes((T, bb, H4), itemsize)  # dgates out
+        )
+        scratch = 2 * _blk_bytes((T, bb, H2), itemsize)  # DMA'd state pairs
+    else:
+        raise ValueError(f"unknown kernel kind {kind!r}")
+    return streams * mult + scratch + h0 * mult
+
+
+def _scoped_budget() -> int:
+    """Chooser budget: the 16 MiB limit minus 1 MiB headroom for the
+    weight blocks + in-kernel temporaries the model leaves out (both
+    observed calibration points put those in the noise). Env override:
+    CLD_LSTM_SCOPED_VMEM_MB."""
+    return int(float(os.environ.get("CLD_LSTM_SCOPED_VMEM_MB", 15)) * (1 << 20))
+
+
+def pick_block(B: int, T: int, H: int, itemsize: int, kind: str) -> int:
+    """Largest power-of-two batch block (<= 128, <= B) whose modeled scoped
+    footprint fits the budget. The sweep inside each program is SEQUENTIAL
+    and grid programs run sequentially on the one TensorCore, so a larger
+    bb directly divides the number of latency-bound cell steps (the
+    matmuls are far below MXU saturation at these widths — wider M is
+    nearly free). Measured on v5e at bench scale (B=128, T=52, H=64, bf16):
+    fwd bb=128 grid=1 runs 0.088 ms vs 0.128 at bb=64."""
     bb = 128
-    while bb > 8 and (bb > B or bb * per_b > budget):
+    budget = _scoped_budget()
+    while bb > 8 and (
+        bb > B or scoped_vmem_bytes(B, T, H, itemsize, kind, bb) > budget
+    ):
         bb //= 2
-    return bb
-
-
-def _pick_bb(B: int, T: int, H: int, itemsize: int, bwd: bool) -> int:
-    """Largest power-of-two batch block whose VMEM footprint fits the block
-    budget (CLD_LSTM_VMEM_MB_{FWD,BWD} of single-buffered block bytes; Mosaic
-    double-buffers streamed grid blocks, and the 16 MB scoped-stack limit
-    must also keep headroom for in-kernel temporaries). Forward holds xg1
-    [T, bb, 4H] + 4 state seqs; backward additionally holds dy and the two
-    [T, bb, 4H] dgates outputs.
-
-    The sweep inside each program is SEQUENTIAL and grid programs run
-    sequentially on the one TensorCore, so a larger bb directly divides the
-    number of latency-bound cell steps (the matmuls are far below MXU
-    saturation at these widths — wider M is nearly free). Measured on v5e
-    at bench scale (B=128, T=52, H=64, bf16): fwd at 7 MB -> bb=128,
-    grid=1, 0.088 vs 0.128 ms standalone. The BACKWARD must stay at 5 MB:
-    bb=64 lowers to a 17.88 MB scoped-vmem stack (> the 16 MB limit,
-    Mosaic double-buffers the streamed blocks) and fails to compile."""
-    env = "CLD_LSTM_VMEM_MB_BWD" if bwd else "CLD_LSTM_VMEM_MB_FWD"
-    budget = int(float(os.environ.get(env, 5 if bwd else 7)) * (1 << 20))
-    per_b = T * (4 * H + 4 * H) * itemsize  # xg1 + seqs
-    if bwd:
-        per_b += T * (H + 8 * H) * itemsize  # dy + dgates1 + dgates2
-    bb = 128
-    while bb > 8 and (bb > B or bb * per_b > budget):
-        bb //= 2
+    est = scoped_vmem_bytes(B, T, H, itemsize, kind, bb)
+    if est > SCOPED_VMEM_LIMIT:
+        raise ValueError(
+            f"lstm_pallas {kind}: no batch block fits scoped VMEM "
+            f"(B={B}, T={T}, H={H}, itemsize={itemsize}: bb={bb} models "
+            f"{est / 2**20:.2f} MiB > {SCOPED_VMEM_LIMIT / 2**20:.0f} MiB)"
+        )
     return bb
 
 
@@ -482,16 +559,20 @@ def lstm2_core(xg1, h0, Wh1, W2, b2, interpret=False):
 
     Differentiable in every argument (see module docstring for how the
     weight gradients are recovered from the in-kernel dgates)."""
-    y, _, _, _ = _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret)
-    return y
+    _, yc2 = _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret)
+    H = xg1.shape[-1] // 4
+    return yc2[..., :H]
 
 
 def _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret):
+    """Returns the LANE-PAIRED state sequences (h1c1, yc2), each [B, T, 2H]
+    (h1c1 = h1 in the low H lanes, c1 high; yc2 = y low, c2 high) — the
+    exact residual layout the v2 backward DMAs (see _fwd_kernel)."""
     B, T, H4 = xg1.shape
     H = H4 // 4
-    bb = _pick_bb(B, T, H, xg1.dtype.itemsize, bwd=False)
+    bb = pick_block(B, T, H, xg1.dtype.itemsize, "fwd")
     (xg1p, h0p), Bp = _pad_batch([xg1, h0], B, bb)
-    seq = _seq_specs(T, bb, H)
+    seq = _seq_specs(T, bb, 2 * H)
     outs = pl.pallas_call(
         _fwd_kernel,
         grid=(Bp // bb,),
@@ -502,8 +583,8 @@ def _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret):
             _mat_spec(W2.shape),
             _mat_spec((1, H4)),
         ],
-        out_specs=[seq, seq, seq, seq],
-        out_shape=[jax.ShapeDtypeStruct((T, Bp, H), xg1.dtype)] * 4,
+        out_specs=[seq, seq],
+        out_shape=[jax.ShapeDtypeStruct((T, Bp, 2 * H), xg1.dtype)] * 2,
         interpret=interpret,
     )(
         jnp.swapaxes(xg1p, 0, 1),
@@ -512,34 +593,32 @@ def _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret):
         W2,
         b2.reshape(1, H4),
     )
-    y, h1s, c1s, c2s = (jnp.swapaxes(o, 0, 1)[:B] for o in outs)
-    return y, h1s, c1s, c2s
+    h1c1, yc2 = (jnp.swapaxes(o, 0, 1)[:B] for o in outs)
+    return h1c1, yc2
 
 
 def _core_fwd(xg1, h0, Wh1, W2, b2, interpret):
-    y, h1s, c1s, c2s = _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret)
-    return y, (xg1, h0, Wh1, W2, b2, y, h1s, c1s, c2s)
+    h1c1, yc2 = _core_fwd_impl(xg1, h0, Wh1, W2, b2, interpret)
+    H = xg1.shape[-1] // 4
+    return yc2[..., :H], (xg1, h0, Wh1, W2, b2, h1c1, yc2)
 
 
 def _core_bwd(interpret, res, dy):
-    xg1, h0, Wh1, W2, b2, y, h1s, c1s, c2s = res
+    xg1, h0, Wh1, W2, b2, h1c1, yc2 = res
     B, T, H4 = xg1.shape
     H = H4 // 4
     f32 = jnp.float32
     tseq = lambda a: jnp.swapaxes(a, 0, 1)
     # v2 (default on TPU): state sequences stay in compiler-chosen memory
-    # and each program DMAs its slice into single-buffered scratch, fitting
-    # bb=64 where v1's double-buffered streams forced bb=32 (see
-    # _bwd_kernel_v2 docstring). CLD_LSTM_BWD_IMPL=v1 is the A/B knob.
+    # and each program DMAs its slice into single-buffered scratch — the
+    # forward already emits them in the lane-paired [B, T, 2H] layout the
+    # DMA wants (see _bwd_kernel_v2 docstring). CLD_LSTM_BWD_IMPL=v1 is
+    # the A/B knob.
     impl = os.environ.get("CLD_LSTM_BWD_IMPL", "v2")
     if impl == "v2":
-        bb = _pick_bb_bwd_v2(B, T, H, xg1.dtype.itemsize)
-        arrs, Bp = _pad_batch([dy, xg1, h0, h1s, c1s, y, c2s], B, bb)
-        dyp, xg1p, h0p, h1p, c1p, yp, c2p = arrs
-        # lane-pair the state seqs to a 128-aligned minor dim (see
-        # _bwd_kernel_v2 docstring): [T, Bp, 2H] h1..c1 and y..c2
-        h1c1 = jnp.concatenate([h1p, c1p], axis=-1)
-        yc2 = jnp.concatenate([yp, c2p], axis=-1)
+        bb = pick_block(B, T, H, xg1.dtype.itemsize, "bwd_v2")
+        arrs, Bp = _pad_batch([dy, xg1, h0, h1c1, yc2], B, bb)
+        dyp, xg1p, h0p, h1c1p, yc2p = arrs
         seqG = _seq_specs(T, bb, H4)
         anyspec = pl.BlockSpec(memory_space=pl.ANY)
         st = pltpu.VMEM((T, bb, 2 * H), xg1.dtype)
@@ -569,12 +648,16 @@ def _core_bwd(interpret, res, dy):
             b2.reshape(1, H4),
             jnp.swapaxes(Wh1, 0, 1),
             jnp.swapaxes(W2, 0, 1),
-            tseq(h1c1),
-            tseq(yc2),
+            tseq(h1c1p),
+            tseq(yc2p),
         )
     else:
-        bb = _pick_bb(B, T, H, xg1.dtype.itemsize, bwd=True)
-        arrs, Bp = _pad_batch([dy, xg1, h0, h1s, c1s, y, c2s], B, bb)
+        bb = pick_block(B, T, H, xg1.dtype.itemsize, "bwd_v1")
+        arrs, Bp = _pad_batch(
+            [dy, xg1, h0, h1c1[..., :H], h1c1[..., H:], yc2[..., :H], yc2[..., H:]],
+            B,
+            bb,
+        )
         dyp, xg1p, h0p, h1p, c1p, yp, c2p = arrs
         seqH = _seq_specs(T, bb, H)
         seqG = _seq_specs(T, bb, H4)
@@ -612,6 +695,8 @@ def _core_bwd(interpret, res, dy):
     dg2 = jnp.swapaxes(dg2, 0, 1)[:B].astype(f32)
 
     h0f = h0.astype(f32)
+    h1s = h1c1[..., :H]
+    y = yc2[..., :H]
     h1prev = jnp.concatenate([h0f[:, None], h1s[:, :-1].astype(f32)], axis=1)
     h2prev = jnp.concatenate([h0f[:, None], y[:, :-1].astype(f32)], axis=1)
     in2 = jnp.concatenate([h1s.astype(f32), h2prev], axis=-1)  # [B, T, 2H]

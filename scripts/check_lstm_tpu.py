@@ -41,9 +41,7 @@ def main():
                jnp.zeros((2, 256)))
     variables = {"params": {"lstmvae": v["params"]}}
     rng = np.random.default_rng(0)
-    B, T, L = 16, 52, 4
-    z = jnp.asarray(rng.normal(size=(B, T, L)), jnp.float32)
-    cond = jnp.asarray(rng.normal(size=(B, 256)), jnp.float32)
+    T, L = 52, 4
 
     def flax_fn(z, cond):
         return m.apply({"params": variables["params"]["lstmvae"]}, z, cond,
@@ -53,22 +51,30 @@ def main():
         return fused_decode_actions(variables, z, cond, impl="pallas")
 
     ok = True
-    want = np.asarray(jax.jit(flax_fn)(z, cond))
-    got = np.asarray(jax.jit(pallas_fn)(z, cond), dtype=np.float32)
-    e = rel_err(want, got)
-    print(f"fwd  rel err = {e:.3e}  finite={np.isfinite(got).all()}")
-    ok &= e < 0.03 and np.isfinite(got).all()
+    # sweep every batch regime the artifacts generate: grid=1 (dryrun 16),
+    # the bench batch (128), and the ddim50/5-samp decode batch (640 ->
+    # multi-program grid, the round-4 scoped-VMEM crash shape). A compile
+    # failure at ANY of these is a bench-killing bug.
+    for B in (16, 128, 640):
+        z = jnp.asarray(rng.normal(size=(B, T, L)), jnp.float32)
+        cond = jnp.asarray(rng.normal(size=(B, 256)), jnp.float32)
+        want = np.asarray(jax.jit(flax_fn)(z, cond))
+        got = np.asarray(jax.jit(pallas_fn)(z, cond), dtype=np.float32)
+        e = rel_err(want, got)
+        print(f"B={B:4d} fwd  rel err = {e:.3e}  finite={np.isfinite(got).all()}")
+        ok &= e < 0.03 and np.isfinite(got).all()
 
-    gw = jax.jit(jax.grad(
-        lambda z, c: flax_fn(z, c).sum(), argnums=(0, 1)))(z, cond)
-    gg = jax.jit(jax.grad(
-        lambda z, c: pallas_fn(z, c).astype(jnp.float32).sum(), argnums=(0, 1)
-    ))(z, cond)
-    for name, a, b in [("dz", gw[0], gg[0]), ("dcond", gw[1], gg[1])]:
-        e = rel_err(a, b)
-        fin = bool(jnp.all(jnp.isfinite(b)))
-        print(f"{name} rel err = {e:.3e}  finite={fin}")
-        ok &= e < 0.05 and fin
+        gw = jax.jit(jax.grad(
+            lambda z, c: flax_fn(z, c).sum(), argnums=(0, 1)))(z, cond)
+        gg = jax.jit(jax.grad(
+            lambda z, c: pallas_fn(z, c).astype(jnp.float32).sum(),
+            argnums=(0, 1),
+        ))(z, cond)
+        for name, a, b in [("dz", gw[0], gg[0]), ("dcond", gw[1], gg[1])]:
+            e = rel_err(a, b)
+            fin = bool(jnp.all(jnp.isfinite(b)))
+            print(f"B={B:4d} {name} rel err = {e:.3e}  finite={fin}")
+            ok &= e < 0.05 and fin
 
     print("LSTM TPU CHECK:", "OK" if ok else "FAILED")
     return 0 if ok else 1
