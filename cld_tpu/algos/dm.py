@@ -108,7 +108,11 @@ def sample_traj(
     # keys (bitwise-identical to drawing inside the body), so the threefry
     # hash runs once as one batched op instead of sitting on the scan's
     # per-step critical path; [n_steps, BN, T, D] f32 is ~10 MB at bench
-    # scale and streams back one ~100 KB slice per step.
+    # scale and streams back one ~100 KB slice per step. NOTE the buffer
+    # scales linearly with BN = batch * num_samp (~53 MB at the 5-sample
+    # closed-loop cadence, more under vmapped/pairwise sharding) — callers
+    # pushing num_samp or batch well past those scales should budget HBM
+    # accordingly.
     step_noises = jax.vmap(
         lambda k: jax.random.normal(k, (BN, horizon, latent_size), jnp.float32)
     )(jax.random.split(rng, schedule.n_timesteps))

@@ -108,6 +108,88 @@ def _closest_lane_point_extra(
     return fn
 
 
+def parse_raw_batch(
+    raw: dict,
+    raster_size: int = 224,
+    pixel_size: float = 0.5,
+    future_frames: int = 52,
+    no_map_fill_value: float = -1.0,
+) -> dict:
+    """One collated trajdata batch dict -> canonical per-field numpy dict.
+
+    Field-by-field parity with the reference's `parse_node_centric`
+    (`/root/reference/src/tbsim/utils/trajdata_utils.py:346-475`): history/
+    future pos-yaw-speed-mask extraction with NaN->0, extent NaN masking +
+    max over history, the raster_from_agent matrix of record, painted
+    history channels prepended to the semantic map stack, the layer-0
+    drivable map with the reference's invalid-map convention (samples whose
+    map is entirely `no_map_fill_value` count as fully drivable,
+    `get_drivable_region_map` + `compute_valid_map_mask`,
+    `trajdata_utils.py:159-222,494-504`). Pinned against the LIVE reference
+    parser on shared fixtures in tests/test_convert_golden.py.
+    """
+    import jax.numpy as jnp
+
+    from cld_tpu.ops.geometry import raster_from_agent_matrix
+    from cld_tpu.ops.raster import rasterize_history
+
+    hist_pos, hist_yaw, hist_speed, hist_mask = _state_to_pos_yaw_speed(raw["agent_hist"])
+    fut_pos, fut_yaw, _, fut_mask = _state_to_pos_yaw_speed(raw["agent_fut"])
+    n_hist_pos, n_hist_yaw, _, n_hist_mask = _state_to_pos_yaw_speed(raw["neigh_hist"])
+    n_fut_pos, n_fut_yaw, _, n_fut_mask = _state_to_pos_yaw_speed(raw["neigh_fut"])
+    B = hist_pos.shape[0]
+
+    maps_raw = np.asarray(raw["maps"].numpy())  # [B, C, H, W]
+    # the reference treats a sample whose map is entirely the no-map fill
+    # value as FULLY drivable (metrics should not fire off-map)
+    invalid_map = np.isclose(maps_raw, no_map_fill_value).reshape(B, -1).all(axis=1)
+    maps = np.nan_to_num(maps_raw).astype(np.float32)
+    rfa = raster_from_agent_matrix(raster_size, pixel_size, (-0.5, 0.0))
+    rfa_b = jnp.asarray(np.broadcast_to(rfa, (B, 3, 3)))
+    hist_img = np.asarray(
+        rasterize_history(
+            jnp.asarray(hist_pos), jnp.asarray(hist_mask),
+            jnp.asarray(n_hist_pos), jnp.asarray(n_hist_mask),
+            rfa_b, raster_size,
+        )
+    )  # [B, Th, H, W]
+    image = np.concatenate([hist_img, maps], axis=1).transpose(0, 2, 3, 1)  # NHWC
+    drivable = (maps[:, 0] > 0).astype(np.float32)  # nusc drivable layer 0
+    drivable[invalid_map] = 1.0
+
+    extent = np.nan_to_num(raw["agent_hist_extent"].numpy()).max(axis=-2)
+    a_from_w = np.nan_to_num(raw["agents_from_world_tf"].numpy()).astype(np.float32)
+
+    fields = {
+        "image": image,
+        "drivable_map": drivable,
+        "raster_from_agent": np.broadcast_to(rfa, (B, 3, 3)),
+        "history_positions": hist_pos,
+        "history_yaws": hist_yaw,
+        "history_availabilities": hist_mask,
+        "curr_speed": hist_speed[:, -1],
+        "target_positions": fut_pos[:, :future_frames],
+        "target_yaws": fut_yaw[:, :future_frames],
+        "target_availabilities": fut_mask[:, :future_frames],
+        "extent": extent,
+        "all_other_agents_future_positions": n_fut_pos[:, :, :future_frames],
+        "all_other_agents_future_availability": n_fut_mask[:, :, :future_frames],
+        "all_other_agents_history_positions": n_hist_pos,
+        "all_other_agents_history_yaws": n_hist_yaw,
+        "all_other_agents_history_availability": n_hist_mask,
+        "world_from_agent": np.linalg.inv(a_from_w),
+    }
+
+    # lane extras: [B, S_seg, S_point, 3] NaN-padded -> dense + mask
+    extras = raw.get("extras", {})
+    if "closest_lane_point" in extras:
+        clp = np.asarray(extras["closest_lane_point"].numpy(), np.float32)
+        clp = clp.reshape(B, -1, 3)
+        fields["lane_avail"] = np.isfinite(clp).all(-1)
+        fields["lane_points"] = np.nan_to_num(clp)
+    return fields
+
+
 def convert_nuscenes(
     out: str,
     data_dir: str,
@@ -145,11 +227,7 @@ def convert_nuscenes(
             "where trajdata + nuScenes are available, or use --synthetic."
         ) from e
 
-    import jax.numpy as jnp
-
     from cld_tpu.data.packed import write_packed
-    from cld_tpu.ops.geometry import raster_from_agent_matrix
-    from cld_tpu.ops.raster import rasterize_history
 
     dt = 0.1
     dataset = UnifiedDataset(
@@ -186,66 +264,22 @@ def convert_nuscenes(
         collate_fn=dataset.get_collate_fn(return_dict=True),
     )
 
-    rfa = raster_from_agent_matrix(raster_size, pixel_size, (-0.5, 0.0))
     fields: dict = {}
-
-    def push(name, arr):
-        fields.setdefault(name, []).append(np.asarray(arr, np.float32))
-
     n = 0
     for raw in loader:
-        hist_pos, hist_yaw, hist_speed, hist_mask = _state_to_pos_yaw_speed(raw["agent_hist"])
-        fut_pos, fut_yaw, _, fut_mask = _state_to_pos_yaw_speed(raw["agent_fut"])
-        n_hist_pos, n_hist_yaw, _, n_hist_mask = _state_to_pos_yaw_speed(raw["neigh_hist"])
-        n_fut_pos, n_fut_yaw, _, n_fut_mask = _state_to_pos_yaw_speed(raw["neigh_fut"])
-        B = hist_pos.shape[0]
+        parsed = parse_raw_batch(
+            raw, raster_size=raster_size, pixel_size=pixel_size,
+            future_frames=future_frames,
+        )
+        B = parsed["history_positions"].shape[0]
+        for name, arr in parsed.items():
+            dtype = np.bool_ if name == "lane_avail" else np.float32
+            fields.setdefault(name, []).append(np.asarray(arr, dtype))
 
-        maps = np.nan_to_num(raw["maps"].numpy()).astype(np.float32)  # [B, C, H, W]
-        rfa_b = jnp.asarray(np.broadcast_to(rfa, (B, 3, 3)))
-        hist_img = np.asarray(
-            rasterize_history(
-                jnp.asarray(hist_pos), jnp.asarray(hist_mask),
-                jnp.asarray(n_hist_pos), jnp.asarray(n_hist_mask),
-                rfa_b, raster_size,
-            )
-        )  # [B, Th, H, W]
-        image = np.concatenate([hist_img, maps], axis=1).transpose(0, 2, 3, 1)  # NHWC
-        drivable = (maps[:, 0] > 0).astype(np.float32)  # nusc drivable layer 0
-
-        extent = np.nan_to_num(raw["agent_hist_extent"].numpy()).max(axis=-2)
-
-        push("image", image)
-        push("drivable_map", drivable)
-        push("raster_from_agent", np.broadcast_to(rfa, (B, 3, 3)))
-        push("history_positions", hist_pos)
-        push("history_yaws", hist_yaw)
-        push("history_availabilities", hist_mask)
-        push("curr_speed", hist_speed[:, -1])
-        push("target_positions", fut_pos[:, :future_frames])
-        push("target_yaws", fut_yaw[:, :future_frames])
-        push("target_availabilities", fut_mask[:, :future_frames])
-        push("extent", extent)
-        push("all_other_agents_future_positions", n_fut_pos[:, :, :future_frames])
-        push("all_other_agents_future_availability", n_fut_mask[:, :, :future_frames])
-        push("all_other_agents_history_positions", n_hist_pos)
-        push("all_other_agents_history_yaws", n_hist_yaw)
-        push("all_other_agents_history_availability", n_hist_mask)
-
-        # lane extras: [B, S_seg, S_point, 3] NaN-padded -> dense + mask
-        extras = raw.get("extras", {})
-        if "closest_lane_point" in extras:
-            clp = np.asarray(extras["closest_lane_point"].numpy(), np.float32)
-            clp = clp.reshape(B, -1, 3)
-            avail = np.isfinite(clp).all(-1)
-            push("lane_points", np.nan_to_num(clp))
-            fields.setdefault("lane_avail", []).append(avail)
-
-        # world pose + scene metadata so converted samples can seed the
-        # closed-loop simulator (sim.scene.scene_pack_from_batches mirrors
+        # scene metadata so converted samples can seed the closed-loop
+        # simulator (sim.scene.scene_pack_from_batches mirrors
         # env_trajdata.py:154-231 reset-from-dataset). trajdata's AgentBatch
-        # carries agents_from_world_tf [B, 3, 3] and per-sample scene ids.
-        a_from_w = np.nan_to_num(raw["agents_from_world_tf"].numpy()).astype(np.float32)
-        push("world_from_agent", np.linalg.inv(a_from_w))
+        # carries per-sample scene ids + timestamps.
         scene_ids = raw["scene_ids"]
         # stable digest, NOT Python's salted str hash: shards must assign
         # the same scene_index to the same scene across runs/processes so
@@ -269,6 +303,17 @@ def convert_nuscenes(
 
 
 def main():
+    # honor JAX_PLATFORMS explicitly: the axon TPU plugin overrides the env
+    # var, so `JAX_PLATFORMS=cpu python -m cld_tpu.data.convert ...` would
+    # silently run every raster op over the TPU tunnel otherwise (the
+    # converter is a CPU batch job by design)
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     p = argparse.ArgumentParser(description="cld_tpu offline dataset converter")
     p.add_argument("--out", required=True)
     p.add_argument("--synthetic", action="store_true")

@@ -95,6 +95,10 @@ class FusedGroupNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, T, C = x.shape
         G = self.num_groups
+        if C % G != 0:
+            raise ValueError(
+                f"FusedGroupNorm: num_groups={G} must divide features={C}"
+            )
         Cg = C // G
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)

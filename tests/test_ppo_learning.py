@@ -127,3 +127,95 @@ def test_ppo_improves_reward(setup):
         assert k in last_pm, sorted(last_pm)
     assert 0.0 <= float(last_pm["clip_fraction"]) <= 1.0
     assert np.isfinite(float(last_pm["loss"]))
+
+
+def test_of_record_phase_is_degenerate(setup):
+    """Executable pin of the PARITY.md "PPO at the of-record update shape"
+    analysis (round-4 probe, `scripts/ppo_of_record_probe.py`): at the
+    reference's of-record shape — log-prob evaluated at t=0 where the
+    posterior sigma is clipped to 1e-10 (`guide_dm_trainer.py:127-183` +
+    the diffuser's posterior_log_variance clip; CLAUDE.md invariant) — the
+    clipped-surrogate gradient is EXACTLY zero at every iteration, via one
+    of two mechanisms per element:
+
+    (a) bit-identical recompute: x0 was recorded at the posterior mode, so
+        logp_new == logp_old exactly -> ratio == 1.0 and
+        d logp/d theta = (x0 - mu)/sigma^2 * d mu = 0 exactly;
+    (b) any recompute deviation (different XLA program than the collect
+        path): the 1/sigma^2 = 1e20 amplification drives diff = logp_new -
+        logp_old to huge NEGATIVE values (logp_old is the exact maximum:
+        the quadratic term is 0 there), exp underflows ratio to exactly
+        0.0, and both surrogate branches have zero gradient.
+
+    Either way all parameter movement in a long of-record phase is the
+    coupled L2 decay (wd added to the gradient before Adam), so the phase
+    acts as decay + the rare exact-REINFORCE iteration — which is why this
+    suite's learning test uses 2-iter phases. If a refactor breaks the
+    bit-exactness property or the sigma clip, these assertions fail."""
+    cfg, batch, ppo, dm_state = setup
+    from cld_tpu.algos.dm import transition_log_prob
+
+    buf = _fresh_buf(cfg)
+    buf, _ = ppo.collect_step(dm_state, buf, batch, jax.random.key(4242))
+
+    schedule = ppo.dm.schedule
+    denoise = ppo.dm.denoise_fn
+    clip_eps = 0.2
+    mb = 16
+
+    def one_iter(state, it_rng):
+        idx = jax.random.randint(it_rng, (mb,), 0, jnp.maximum(buf.size, 1))
+        x0, x1 = buf.x0[idx], buf.x1[idx]
+        logp_old = buf.log_p[idx]
+        adv = buf.reward[idx] - buf.baseline
+        cond = buf.cond_feat[idx]
+        t = jnp.zeros((mb,), jnp.int32)  # the of-record t=0 evaluation
+
+        def loss_fn(params):
+            logp_new = transition_log_prob(
+                denoise(params), schedule, x1, x0, cond, t
+            )
+            ratio = jnp.exp(logp_new - logp_old)
+            surr1 = ratio * adv
+            surr2 = jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv
+            return -jnp.mean(jnp.minimum(surr1, surr2)), ratio
+
+        (loss, ratio), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        gnorm_sq = sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
+        new_state = state.apply_gradients(grads=grads)
+        pdelta_sq = sum(
+            jnp.sum((a - b) ** 2)
+            for a, b in zip(
+                jax.tree.leaves(new_state.params), jax.tree.leaves(state.params)
+            )
+        )
+        return new_state, (gnorm_sq, ratio, pdelta_sq)
+
+    one_iter_j = jax.jit(one_iter)
+    p_l2 = lambda s: float(
+        jnp.sqrt(sum(jnp.sum(p**2) for p in jax.tree.leaves(s.params)))
+    )
+    l2_pre = p_l2(dm_state)
+    state = dm_state
+    moved = 0.0
+    n_iters = 40
+    for i, r in enumerate(jax.random.split(jax.random.key(31), n_iters)):
+        state, (gnorm_sq, ratio, pdelta_sq) = one_iter_j(state, r)
+        # THE pin: the surrogate gradient is exactly zero — not small, zero
+        assert float(gnorm_sq) == 0.0, (i, float(gnorm_sq))
+        # ratios are BIMODAL: exactly underflowed-0, or ~1 where the
+        # recomputed mean matches x0 bitwise (the theta-dependent quadratic
+        # is exactly 0; the ~1e-6 wobble is cross-program rounding of the
+        # theta-INDEPENDENT -0.5*sum(log 2*pi*sigma^2) constant, which
+        # carries no gradient)
+        r_np = np.asarray(ratio)
+        assert np.all((r_np == 0.0) | (np.abs(r_np - 1.0) < 1e-5)), (i, r_np)
+        moved = max(moved, float(pdelta_sq))
+
+    # ... yet parameters MOVE (the coupled L2 decay through Adam; the first
+    # iters can sit at the warmup-zero LR, so check the max over the phase)
+    assert moved > 0.0
+    # and the movement is contraction: pure decay shrinks the param norm
+    assert p_l2(state) < l2_pre
