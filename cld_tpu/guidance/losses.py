@@ -485,6 +485,103 @@ def _min_dist_separable_bwd(res, g):
 _min_dist_separable.defvjp(_min_dist_separable_fwd, _min_dist_separable_bwd)
 
 
+@jax.custom_vjp
+def _min_dist_separable_xy(pos, yaw, onroad, rd2, cd2, li, wi, lw):
+    """Separable EDT with the vjp boundary moved from per-point gradients to
+    (pos, yaw) directly — the routing-free form of `_min_dist_separable`.
+
+    Forward values are BITWISE identical to the separable path (same
+    `_sep_stage_minima`). The backward exploits the grid's rigidity: the
+    reference gradient routes column j's cotangent to its nearest on-road
+    row i* as g_j * (p_i* - p_j) / d_j (`guidance_loss.py:826-850`), and for
+    a rigid grid p_i - p_j = Rot(yaw) @ delta_local where delta_local is the
+    (tie-averaged) argmin GRID OFFSET — independent of position. Chaining to
+    the pose therefore needs only per-target offset moments, never a
+    per-point scatter:
+
+      grad_pos[q] = Rot(yaw_q) @ sum_j w_j * delta_j            (w = g / d)
+      grad_yaw[q] = sum_j w_j * (delta_jy * loc_jx - delta_jx * loc_jy)
+
+    The yaw form is exact (not an approximation): the delta-quadratic term
+    delta^T (Rot^T dRot) delta vanishes identically because Rot^T dRot =
+    [[0,-1],[1,0]] is antisymmetric — and it vanishes for EACH tied delta
+    individually, so tie-averaging commutes. Both one-hot routing stages,
+    the [B, Q, P, 2] grad output, the pts residual, and the rotate-chain
+    backward through agt_pts all disappear; what remains is R + C equality
+    sweeps accumulating two scalars (count, offset) instead of three routed
+    tensors. Tie semantics are exactly `_min_dist_separable`'s per-stage
+    even split: the same bitwise-recompute equalities pick the same tied
+    sets, and the per-(rp) within-row average dwbar1 composes with the
+    stage-2 average exactly as the factored routing does.
+
+    pos [B, Q, 2], yaw [B, Q] (backward only), onroad [B, Q, P] bool,
+    rd2 [B, R, R], cd2 [B, C, C], li [R] / wi [C] unit grid coords,
+    lw [B, 2] extents. Returns d [B, Q, P]."""
+    d, _, _ = _sep_stage_minima(onroad, rd2, cd2)
+    return d
+
+
+def _min_dist_separable_xy_fwd(pos, yaw, onroad, rd2, cd2, li, wi, lw):
+    d, E, D = _sep_stage_minima(onroad, rd2, cd2)
+    return d, (yaw, onroad, rd2, cd2, li, wi, lw, E, D)
+
+
+def _min_dist_separable_xy_bwd(res, g):
+    yaw, onroad, rd2, cd2, li, wi, lw, E, D = res
+    B, Q, P = onroad.shape
+    R = rd2.shape[-1]
+    C = cd2.shape[-1]
+    on = onroad.reshape(B, Q, R, C)
+    # per-target cotangent / distance; all-off-road targets have upstream
+    # g = 0 (MapCollisionLoss masks them), so their garbage moments drop out
+    w = g.reshape(B, Q, R, C) / jnp.sqrt(D + 1e-12)
+
+    # ---- stage-1 moments: tie-averaged source-COLUMN offset per (rp, c).
+    # Equality is arithmetic-free (E is bitwise one of the cd2 values, or
+    # BIG which cd2 never hits) — same invariant as the routing backward.
+    cnt1 = jnp.zeros((B, Q, R, C))
+    dwsum = jnp.zeros((B, Q, R, C))
+    for cp in range(C):
+        f = jnp.where(
+            on[:, :, :, cp : cp + 1] & (cd2[:, None, None, cp, :] == E), 1.0, 0.0
+        )
+        cnt1 = cnt1 + f
+        dwsum = dwsum + f * (wi[cp] - wi)
+    dwbar1 = dwsum / jnp.maximum(cnt1, 1.0)  # [B, Q, R(rp), C]
+
+    # ---- stage-2 moments: candidate sums recomputed BITWISE (same operands,
+    # same add as the forward's D chain), accumulating the row offset and the
+    # per-row conditional column average
+    cnt2 = jnp.zeros((B, Q, R, C))
+    dlsum = jnp.zeros((B, Q, R, C))
+    dwbar = jnp.zeros((B, Q, R, C))
+    for rp in range(R):
+        f = jnp.where(
+            (rd2[:, None, rp, :, None] + E[:, :, rp : rp + 1, :]) == D, 1.0, 0.0
+        )
+        cnt2 = cnt2 + f
+        dlsum = dlsum + f * (li[rp] - li)[None, None, :, None]
+        dwbar = dwbar + f * dwbar1[:, :, rp : rp + 1, :]
+    inv2 = 1.0 / jnp.maximum(cnt2, 1.0)  # >= 1 wherever g != 0 (D is a min)
+    lw0 = lw[:, 0][:, None, None, None]
+    lw1 = lw[:, 1][:, None, None, None]
+    dx_loc = dlsum * inv2 * lw0  # tie-averaged delta, extent-scaled
+    dy_loc = dwbar * inv2 * lw1
+
+    mx = jnp.sum(w * dx_loc, axis=(2, 3))  # [B, Q]
+    my = jnp.sum(w * dy_loc, axis=(2, 3))
+    ljx = li[None, None, :, None] * lw0  # target point local coords
+    ljy = wi[None, None, None, :] * lw1
+    gyaw = jnp.sum(w * (dy_loc * ljx - dx_loc * ljy), axis=(2, 3))  # [B, Q]
+    c = jnp.cos(yaw)
+    s = jnp.sin(yaw)
+    gpos = jnp.stack([c * mx - s * my, s * mx + c * my], axis=-1)
+    return gpos, gyaw, None, None, None, None, None, None
+
+
+_min_dist_separable_xy.defvjp(_min_dist_separable_xy_fwd, _min_dist_separable_xy_bwd)
+
+
 def _min_dist_to_onroad(pts: jnp.ndarray, onroad: jnp.ndarray) -> jnp.ndarray:
     """For every bbox point: distance to the nearest ON-road bbox point of
     the same (agent, step). pts [..., P, 2], onroad [..., P] bool ->
@@ -777,6 +874,11 @@ class MapCollisionLoss:
     #                 +0.37 ms/denoise-step vs +~0.6 ms for "rigid"
     #                 (guided agent+map pipeline 185.8k vs 131.9k NFE/s,
     #                 scripts/guided_breakdown.py r3);
+    #   "separable_xy" separable values (bitwise equal) with the routing-free
+    #                 moment backward at the (pos, yaw) boundary — both
+    #                 one-hot routing stages, the per-point grad tensor and
+    #                 the rotate-chain backward disappear (see
+    #                 _min_dist_separable_xy);
     #   "rigid"       pose-invariant P x P distance cache hoisted out of the
     #                 sampling loop + analytic argmin backward;
     #   "rigid_pallas" fully VMEM-resident pallas fwd/bwd of "rigid";
@@ -896,7 +998,7 @@ class MapCollisionLoss:
         # over the horizon to bound the tile at scene scale (_time_chunk).
         w = _decay_weights(T, self.decay_rate)
 
-        if self.min_dist_impl == "separable":
+        if self.min_dist_impl in ("separable", "separable_xy"):
             # exact separable EDT over the regular bbox grid (see
             # _min_dist_separable) — full horizon at once, no chunk scan
             R, C = self.num_points_lw
@@ -904,10 +1006,20 @@ class MapCollisionLoss:
             wi = jnp.asarray(wwise, jnp.float32)
             rd2 = ((li[:, None] - li[None]) ** 2)[None] * (lw[:, 0] ** 2)[:, None, None]
             cd2 = ((wi[:, None] - wi[None]) ** 2)[None] * (lw[:, 1] ** 2)[:, None, None]
-            min_dist = _min_dist_separable(
-                agt_pts.reshape(B, N * T, P, 2),
-                (~offroad).reshape(B, N * T, P), rd2, cd2,
-            ).reshape(B, N, T, P)
+            if self.min_dist_impl == "separable_xy":
+                # routing-free vjp at the (pos, yaw) boundary: bitwise-equal
+                # values, pose gradients assembled from offset moments (see
+                # _min_dist_separable_xy). agt_pts above then only feeds the
+                # detached pix query, so XLA drops the rotate backward too.
+                min_dist = _min_dist_separable_xy(
+                    pos.reshape(B, N * T, 2), yaw.reshape(B, N * T),
+                    (~offroad).reshape(B, N * T, P), rd2, cd2, li, wi, lw,
+                ).reshape(B, N, T, P)
+            else:
+                min_dist = _min_dist_separable(
+                    agt_pts.reshape(B, N * T, P, 2),
+                    (~offroad).reshape(B, N * T, P), rd2, cd2,
+                ).reshape(B, N, T, P)
             pt_loss = 1.0 - min_dist / diag_len[:, None, None, None]
             has_onroad = jnp.any(~offroad, axis=-1, keepdims=True)
             pt_loss = jnp.where(offroad & has_onroad, pt_loss, 0.0)

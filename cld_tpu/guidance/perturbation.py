@@ -180,11 +180,13 @@ def make_perturbation_guidance(
                 f"num_points_lw {sorted(grids)}: prepacking supports one "
                 "grid per context — unify the specs' num_points_lw"
             )
-        # the default "separable" min-dist path never reads the [B, P, P]
-        # distance cache; skip computing it unless a rigid/pairwise path
-        # of some spec will consume it
+        # the default "separable" min-dist path (and its "separable_xy"
+        # moment-backward twin) never reads the [B, P, P] distance cache;
+        # skip computing it unless a rigid/pairwise path of some spec will
+        # consume it
         need_d2 = any(
-            s.loss.min_dist_impl != "separable" for s in map_specs
+            s.loss.min_dist_impl not in ("separable", "separable_xy")
+            for s in map_specs
         )
         ctx = prepack_map_bbox(
             ctx, map_specs[0].loss.num_points_lw, with_d2=need_d2

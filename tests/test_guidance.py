@@ -754,6 +754,101 @@ def test_map_collision_separable_matches_rigid_in_loss():
     assert den > 0 and num / den > 0.999
 
 
+def test_map_collision_separable_xy_matches_separable():
+    """min_dist_impl='separable_xy' (routing-free moment backward at the
+    (pos, yaw) boundary) produces BITWISE-equal loss values and matching
+    gradients vs the default separable routing backward — including under
+    rotation/curvature (the yaw gradient is assembled analytically from
+    offset moments, with no trig in the backward)."""
+    ctx = make_ctx()
+    # curved, rotated trajectory so both pos and yaw gradients are exercised
+    T = 52
+    t = jnp.arange(1, T + 1) * 0.1
+    x = jnp.zeros((3, 2, T, 6))
+    x = x.at[..., 0].set(5.0 * t)
+    x = x.at[..., 1].set(6.9 + 1.5 * jnp.sin(0.5 * t))
+    x = x.at[..., 2].set(5.0)
+    x = x.at[..., 3].set(0.75 * jnp.cos(0.5 * t))
+    l_sep = MapCollisionLoss(min_dist_impl="separable")(x, ctx)
+    l_xy = MapCollisionLoss(min_dist_impl="separable_xy")(x, ctx)
+    # same _sep_stage_minima forward -> exactly equal values
+    np.testing.assert_array_equal(np.asarray(l_xy), np.asarray(l_sep))
+    g_sep = jax.grad(
+        lambda v: MapCollisionLoss(min_dist_impl="separable")(v, ctx).sum()
+    )(x)
+    g_xy = jax.grad(
+        lambda v: MapCollisionLoss(min_dist_impl="separable_xy")(v, ctx).sum()
+    )(x)
+    # identical tie rule (same bitwise equalities, same per-stage averaging),
+    # so gradients agree to fp assembly rounding — the only difference is
+    # (p_i - p_j) computed via routed world points vs Rot @ delta_local
+    np.testing.assert_allclose(
+        np.asarray(g_xy), np.asarray(g_sep), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_separable_xy_tie_splitting_exact():
+    """At an exactly symmetric configuration (an off-road column flanked by
+    equidistant on-road columns) the moment backward must reproduce the
+    per-stage even tie split of the routing backward, not a winner-take-all
+    pick. Built directly on the kernel to control the tie."""
+    from cld_tpu.guidance.losses import (
+        _min_dist_separable,
+        _min_dist_separable_xy,
+    )
+
+    # C=3 makes the grid exactly symmetric in fp (linspace = [-0.5, 0, 0.5]),
+    # so target c=1 ties between cp=0 and cp=2 BITWISE — the ulp artifacts of
+    # a 10-point linspace would break the tie, which is itself load-bearing
+    # behavior (the equality backward only splits exact ties)
+    R, C = 4, 3
+    P = R * C
+    B, Q = 1, 1
+    li = jnp.linspace(-0.5, 0.5, R)
+    wi = jnp.linspace(-0.5, 0.5, C)
+    lw = jnp.asarray([[4.0, 2.0]])
+    rd2 = ((li[:, None] - li[None]) ** 2)[None] * lw[:, 0:1, None] ** 2
+    cd2 = ((wi[:, None] - wi[None]) ** 2)[None] * lw[:, 1:2, None] ** 2
+    # column pattern per row: ON, off, ON
+    on = jnp.tile(jnp.asarray([True, False, True]), (B, Q, R, 1))
+    assert float(cd2[0, 0, 1]) == float(cd2[0, 2, 1])
+    onf = on.reshape(B, Q, P)
+    # cotangents only at OFF-road targets, as MapCollisionLoss masks them:
+    # g at an on-road target (d = 1e-6) would amplify the routing backward's
+    # self-route by 1e6 and its fp cancellation residue would swamp the
+    # comparison (not a real-loss configuration)
+    g = jnp.where(onf, 0.0, 1.0)
+    pos = jnp.zeros((B, Q, 2))
+    yaw = jnp.full((B, Q), 0.3)
+    grid = jnp.stack(
+        jnp.meshgrid(li * lw[0, 0], wi * lw[0, 1], indexing="ij"), -1
+    ).reshape(P, 2)
+    c, s = jnp.cos(yaw[0, 0]), jnp.sin(yaw[0, 0])
+    rot = jnp.asarray([[c, -s], [s, c]])
+    pts = (grid @ rot.T + pos[0, 0])[None, None]  # [1, 1, P, 2]
+    d_ref = _min_dist_separable(pts, onf, rd2, cd2)
+    d_xy = _min_dist_separable_xy(pos, yaw, onf, rd2, cd2, li, wi, lw)
+    np.testing.assert_array_equal(np.asarray(d_xy), np.asarray(d_ref))
+    # reference gradient: chain the per-point routing grads to (pos, yaw)
+    def ref_loss(p, y):
+        cc, ss = jnp.cos(y[0, 0]), jnp.sin(y[0, 0])
+        rr = jnp.asarray([[cc, -ss], [ss, cc]])
+        pp = (grid @ rr.T + p[0, 0])[None, None]
+        return jnp.sum(_min_dist_separable(pp, onf, rd2, cd2) * g)
+
+    gp_ref, gy_ref = jax.grad(ref_loss, argnums=(0, 1))(pos, yaw)
+    gp_xy, gy_xy = jax.grad(
+        lambda p, y: jnp.sum(
+            _min_dist_separable_xy(p, y, onf, rd2, cd2, li, wi, lw) * g
+        ),
+        argnums=(0, 1),
+    )(pos, yaw)
+    np.testing.assert_allclose(np.asarray(gp_xy), np.asarray(gp_ref), rtol=1e-5, atol=1e-6)
+    # true yaw grad is 0 by symmetry; the chained reference leaves ~1 ulp of
+    # fp residue while the moment form is exactly zero
+    np.testing.assert_allclose(np.asarray(gy_xy), np.asarray(gy_ref), rtol=1e-5, atol=1e-6)
+
+
 def test_choose_closest_to_gt():
     """guide_with_gt selection: availability-masked closest-to-GT sample;
     agents with no valid GT fall back to sample 0
