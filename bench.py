@@ -270,13 +270,21 @@ def flagship_guidance_specs(scene_block=None):
             AgentCollisionLoss(num_disks=5, buffer_dist=0.2, scene_block=scene_block),
             10.0,
         ),
-        # defaults resolve to the fastest measured TPU config: the rigid
-        # pose-invariant distance cache + the pallas drivable-map gather.
-        # BENCH_MAP_MIN_FWD: auto|fused|eqmin A/B knob for the masked-min
-        # forward schedule (losses.py:MapCollisionLoss.min_fwd_impl)
+        # defaults resolve to the fastest measured TPU config: the f32
+        # separable EDT + routing backward. The round-5 alternatives —
+        # "separable_xy" (routing-free moment backward at the pose
+        # boundary) and "separable_xy_bf16" (bf16 EDT sweeps) — measured
+        # 20-60 us/step faster in the ISOLATED map phase
+        # (scripts/guided_breakdown.py map-none deltas 0.343/0.317/0.283)
+        # but EQUAL in the full pipeline within +-2% ambient (clean A/B/A
+        # guided:unguided ratios 0.4491 f32 vs 0.4375/0.4441 bf16): the
+        # EDT sweeps overlap with other scan work under XLA fusion, so the
+        # isolated saving does not translate. Keep the exact default;
+        # BENCH_MAP_MIN_DIST / BENCH_MAP_MIN_FWD remain the A/B knobs.
         GuidanceSpec(
             MapCollisionLoss(
                 num_points_lw=(10, 10),
+                min_dist_impl=os.environ.get("BENCH_MAP_MIN_DIST", "separable"),
                 min_fwd_impl=os.environ.get("BENCH_MAP_MIN_FWD", "auto"),
             ),
             10.0,
@@ -426,7 +434,9 @@ def bench_denoiser(cfg, dm_trainer, dm_state):
         fn = dm_trainer.denoise_fn(params)
 
         def body(h, _):
-            return fn(h, cond, t), None
+            # the UNet computes in bf16; keep the carry f32 like the
+            # pipeline's posterior math does
+            return fn(h, cond, t).astype(h.dtype), None
 
         out, _ = jax.lax.scan(body, x, None, length=K)
         return out

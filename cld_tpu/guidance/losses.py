@@ -582,6 +582,107 @@ def _min_dist_separable_xy_bwd(res, g):
 _min_dist_separable_xy.defvjp(_min_dist_separable_xy_fwd, _min_dist_separable_xy_bwd)
 
 
+def _sep_stage_minima_bf16(onroad, rd2, cd2):
+    """bf16-compute twin of `_sep_stage_minima`: the (R + C) masked min
+    sweeps are VPU-element-bound, and bf16 doubles the vector lanes (same
+    rationale as `_min_dist_rigid_bf16`). Distances come back with ~2^-8
+    relative error; E/D stay bf16 so the backward's equality recovery runs
+    against bitwise-identical bf16 recomputes."""
+    B, Q, P = onroad.shape
+    R = rd2.shape[-1]
+    C = cd2.shape[-1]
+    on = onroad.reshape(B, Q, R, C)
+    cd2b = cd2.astype(jnp.bfloat16)
+    rd2b = rd2.astype(jnp.bfloat16)
+    E = jnp.full((B, Q, R, C), _BIG_D2_BF16)
+    for cp in range(C):
+        cand = jnp.where(on[..., cp : cp + 1], cd2b[:, None, None, cp, :], _BIG_D2_BF16)
+        E = jnp.minimum(E, cand)
+    D = jnp.full((B, Q, R, C), _BIG_D2_BF16)
+    for rp in range(R):
+        D = jnp.minimum(D, rd2b[:, None, rp, :, None] + E[:, :, rp : rp + 1, :])
+    d = jnp.sqrt(D.astype(jnp.float32).reshape(B, Q, P) + 1e-12)
+    return d, E, D
+
+
+@jax.custom_vjp
+def _min_dist_separable_xy_bf16(pos, yaw, onroad, rd2, cd2, li, wi, lw):
+    """bf16 separable EDT + moment backward (min_dist_impl="separable_xy_bf16").
+
+    Combines `_min_dist_separable_xy`'s routing-free pose-boundary backward
+    with bf16 stage sweeps: the equality moments recompute the bf16
+    candidate sums bitwise, counts (<= R resp. C) and {0,1} masks are exact
+    in bf16, and the offset moments carry ~2^-8 relative error into an f32
+    assembly — the same accepted error class as `_min_dist_rigid_bf16`
+    (measured guidance-gradient cosine 0.9999+ vs f32,
+    scripts/micro_rigid_bf16.py). bf16 rounding coarsens near-ties into
+    exact ties, which split evenly per stage."""
+    d, _, _ = _sep_stage_minima_bf16(onroad, rd2, cd2)
+    return d
+
+
+def _min_dist_separable_xy_bf16_fwd(pos, yaw, onroad, rd2, cd2, li, wi, lw):
+    d, E, D = _sep_stage_minima_bf16(onroad, rd2, cd2)
+    return d, (yaw, onroad, rd2, cd2, li, wi, lw, E, D)
+
+
+def _min_dist_separable_xy_bf16_bwd(res, g):
+    yaw, onroad, rd2, cd2, li, wi, lw, E, D = res
+    B, Q, P = onroad.shape
+    R = rd2.shape[-1]
+    C = cd2.shape[-1]
+    on = onroad.reshape(B, Q, R, C)
+    cd2b = cd2.astype(jnp.bfloat16)
+    rd2b = rd2.astype(jnp.bfloat16)
+    dfull = jnp.sqrt(D.astype(jnp.float32) + 1e-12)
+    w = g.reshape(B, Q, R, C) / dfull
+    one = jnp.bfloat16(1.0)
+    zero = jnp.bfloat16(0.0)
+    wib = wi.astype(jnp.bfloat16)
+    lib = li.astype(jnp.bfloat16)
+
+    cnt1 = jnp.zeros((B, Q, R, C), jnp.bfloat16)
+    dwsum = jnp.zeros((B, Q, R, C), jnp.bfloat16)
+    for cp in range(C):
+        f = jnp.where(
+            on[:, :, :, cp : cp + 1] & (cd2b[:, None, None, cp, :] == E), one, zero
+        )
+        cnt1 = cnt1 + f
+        dwsum = dwsum + f * (wib[cp] - wib)
+    dwbar1 = dwsum / jnp.maximum(cnt1, one)
+
+    cnt2 = jnp.zeros((B, Q, R, C), jnp.bfloat16)
+    dlsum = jnp.zeros((B, Q, R, C), jnp.bfloat16)
+    dwbar = jnp.zeros((B, Q, R, C), jnp.bfloat16)
+    for rp in range(R):
+        f = jnp.where(
+            (rd2b[:, None, rp, :, None] + E[:, :, rp : rp + 1, :]) == D, one, zero
+        )
+        cnt2 = cnt2 + f
+        dlsum = dlsum + f * (lib[rp] - lib)[None, None, :, None]
+        dwbar = dwbar + f * dwbar1[:, :, rp : rp + 1, :]
+    inv2 = 1.0 / jnp.maximum(cnt2.astype(jnp.float32), 1.0)
+    lw0 = lw[:, 0][:, None, None, None]
+    lw1 = lw[:, 1][:, None, None, None]
+    dx_loc = dlsum.astype(jnp.float32) * inv2 * lw0
+    dy_loc = dwbar.astype(jnp.float32) * inv2 * lw1
+
+    mx = jnp.sum(w * dx_loc, axis=(2, 3))
+    my = jnp.sum(w * dy_loc, axis=(2, 3))
+    ljx = li[None, None, :, None] * lw0
+    ljy = wi[None, None, None, :] * lw1
+    gyaw = jnp.sum(w * (dy_loc * ljx - dx_loc * ljy), axis=(2, 3))
+    c = jnp.cos(yaw)
+    s = jnp.sin(yaw)
+    gpos = jnp.stack([c * mx - s * my, s * mx + c * my], axis=-1)
+    return gpos, gyaw, None, None, None, None, None, None
+
+
+_min_dist_separable_xy_bf16.defvjp(
+    _min_dist_separable_xy_bf16_fwd, _min_dist_separable_xy_bf16_bwd
+)
+
+
 def _min_dist_to_onroad(pts: jnp.ndarray, onroad: jnp.ndarray) -> jnp.ndarray:
     """For every bbox point: distance to the nearest ON-road bbox point of
     the same (agent, step). pts [..., P, 2], onroad [..., P] bool ->
@@ -879,6 +980,9 @@ class MapCollisionLoss:
     #                 one-hot routing stages, the per-point grad tensor and
     #                 the rotate-chain backward disappear (see
     #                 _min_dist_separable_xy);
+    #   "separable_xy_bf16" the xy moment path with bf16 EDT sweeps (double
+    #                 VPU lanes, ~2^-8 relative distance error, f32
+    #                 assembly — same error class as rigid "bf16");
     #   "rigid"       pose-invariant P x P distance cache hoisted out of the
     #                 sampling loop + analytic argmin backward;
     #   "rigid_pallas" fully VMEM-resident pallas fwd/bwd of "rigid";
@@ -998,7 +1102,7 @@ class MapCollisionLoss:
         # over the horizon to bound the tile at scene scale (_time_chunk).
         w = _decay_weights(T, self.decay_rate)
 
-        if self.min_dist_impl in ("separable", "separable_xy"):
+        if self.min_dist_impl in ("separable", "separable_xy", "separable_xy_bf16"):
             # exact separable EDT over the regular bbox grid (see
             # _min_dist_separable) — full horizon at once, no chunk scan
             R, C = self.num_points_lw
@@ -1006,12 +1110,19 @@ class MapCollisionLoss:
             wi = jnp.asarray(wwise, jnp.float32)
             rd2 = ((li[:, None] - li[None]) ** 2)[None] * (lw[:, 0] ** 2)[:, None, None]
             cd2 = ((wi[:, None] - wi[None]) ** 2)[None] * (lw[:, 1] ** 2)[:, None, None]
-            if self.min_dist_impl == "separable_xy":
+            if self.min_dist_impl in ("separable_xy", "separable_xy_bf16"):
                 # routing-free vjp at the (pos, yaw) boundary: bitwise-equal
                 # values, pose gradients assembled from offset moments (see
                 # _min_dist_separable_xy). agt_pts above then only feeds the
                 # detached pix query, so XLA drops the rotate backward too.
-                min_dist = _min_dist_separable_xy(
+                # The bf16 twin runs the EDT sweeps at double VPU lanes
+                # (~2^-8 relative distance error, f32 assembly).
+                fn = (
+                    _min_dist_separable_xy_bf16
+                    if self.min_dist_impl == "separable_xy_bf16"
+                    else _min_dist_separable_xy
+                )
+                min_dist = fn(
                     pos.reshape(B, N * T, 2), yaw.reshape(B, N * T),
                     (~offroad).reshape(B, N * T, P), rd2, cd2, li, wi, lw,
                 ).reshape(B, N, T, P)

@@ -185,7 +185,7 @@ def make_perturbation_guidance(
         # skip computing it unless a rigid/pairwise path of some spec will
         # consume it
         need_d2 = any(
-            s.loss.min_dist_impl not in ("separable", "separable_xy")
+            s.loss.min_dist_impl not in ("separable", "separable_xy", "separable_xy_bf16")
             for s in map_specs
         )
         ctx = prepack_map_bbox(

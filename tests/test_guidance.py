@@ -787,6 +787,34 @@ def test_map_collision_separable_xy_matches_separable():
     )
 
 
+def test_map_collision_separable_xy_bf16_close():
+    """The bf16 xy variant tracks the f32 path to bf16 tolerances: values
+    within ~2^-8 relative, gradient direction cosine ~1 (the accepted error
+    class of the rigid bf16 knob)."""
+    ctx = make_ctx()
+    T = 52
+    t = jnp.arange(1, T + 1) * 0.1
+    x = jnp.zeros((3, 2, T, 6))
+    x = x.at[..., 0].set(5.0 * t)
+    x = x.at[..., 1].set(6.9 + 1.5 * jnp.sin(0.5 * t))
+    x = x.at[..., 2].set(5.0)
+    x = x.at[..., 3].set(0.75 * jnp.cos(0.5 * t))
+    l_f32 = MapCollisionLoss(min_dist_impl="separable_xy")(x, ctx)
+    l_b16 = MapCollisionLoss(min_dist_impl="separable_xy_bf16")(x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(l_b16), np.asarray(l_f32), rtol=3e-2, atol=3e-2
+    )
+    g_f32 = jax.grad(
+        lambda v: MapCollisionLoss(min_dist_impl="separable_xy")(v, ctx).sum()
+    )(x)
+    g_b16 = jax.grad(
+        lambda v: MapCollisionLoss(min_dist_impl="separable_xy_bf16")(v, ctx).sum()
+    )(x)
+    num = float(jnp.sum(g_f32 * g_b16))
+    den = float(jnp.linalg.norm(g_f32) * jnp.linalg.norm(g_b16))
+    assert den > 0 and num / den > 0.999
+
+
 def test_separable_xy_tie_splitting_exact():
     """At an exactly symmetric configuration (an off-road column flanked by
     equidistant on-road columns) the moment backward must reproduce the
