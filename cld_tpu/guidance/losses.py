@@ -514,6 +514,13 @@ def _min_dist_separable_xy(pos, yaw, onroad, rd2, cd2, li, wi, lw):
     sets, and the per-(rp) within-row average dwbar1 composes with the
     stage-2 average exactly as the factored routing does.
 
+    Knife-edge caveat: at EXACTLY symmetric tie configurations (e.g. an
+    axis-aligned pose whose tied source offsets cancel) the routing
+    backward's per-point contributions cancel only up to fp rounding, so
+    its summed pose gradient there is cancellation residue; this form
+    computes the symmetric zero exactly. Off the knife edge (any real
+    pose) the two agree to assembly rounding (~1e-5 relative, tested).
+
     pos [B, Q, 2], yaw [B, Q] (backward only), onroad [B, Q, P] bool,
     rd2 [B, R, R], cd2 [B, C, C], li [R] / wi [C] unit grid coords,
     lw [B, 2] extents. Returns d [B, Q, P]."""

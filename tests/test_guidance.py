@@ -877,6 +877,62 @@ def test_separable_xy_tie_splitting_exact():
     np.testing.assert_allclose(np.asarray(gy_xy), np.asarray(gy_ref), rtol=1e-5, atol=1e-6)
 
 
+def test_separable_variants_inside_sampling_scan():
+    """The separable_xy / separable_xy_bf16 knobs must trace inside a
+    lax.scan like the guided sampler's (custom_vjp under jax.grad under
+    scan) and track the default path across steps."""
+    ctx = make_ctx()
+    # curved fixture: an exactly-axis-aligned trajectory (yaw == 0) sits on
+    # a symmetry knife edge where tied sources cancel — there the routing
+    # backward returns fp cancellation residue (which Adam amplifies to
+    # +-lr) while the moment backward returns the exact symmetric zero, so
+    # the impls only agree off the knife edge (any real pose)
+    T = 52
+    tt = jnp.arange(1, T + 1) * 0.1
+    x0 = jnp.zeros((3, 2, T, 6))
+    x0 = x0.at[..., 0].set(5.0 * tt)
+    x0 = x0.at[..., 1].set(6.9 + 1.5 * jnp.sin(0.5 * tt))
+    x0 = x0.at[..., 2].set(5.0)
+    x0 = x0.at[..., 3].set(0.75 * jnp.cos(0.5 * tt))
+    first = {}
+    for impl in ("separable", "separable_xy", "separable_xy_bf16"):
+        specs = [
+            GuidanceSpec(MapCollisionLoss(min_dist_impl=impl), 10.0),
+            GuidanceSpec(AgentCollisionLoss(), 10.0),
+        ]
+        gfn = make_perturbation_guidance(
+            ctx, specs, lambda z: z, lr=0.3, grad_steps=1
+        )
+
+        @jax.jit
+        def run(x):
+            def step(h, t):
+                return gfn(h, jnp.full((x.shape[0],), t, jnp.int32)), None
+
+            out, _ = jax.lax.scan(step, x, jnp.arange(5))
+            return out
+
+        # 5 iterated steps: traces + stays finite (the offroad mask flips
+        # make iterated trajectories chaotic, so cross-impl equality is
+        # only meaningful for a single application)
+        assert np.isfinite(np.asarray(run(x0))).all()
+        first[impl] = np.asarray(
+            jax.jit(gfn)(x0, jnp.zeros((x0.shape[0],), jnp.int32))
+        )
+    # Adam's first step is ~lr * sign(g) per element, which amplifies fp
+    # noise on near-zero gradients to +-lr — exact equality is
+    # ill-conditioned (raw-gradient equality is pinned by the tests above).
+    # Assert instead that elements the default path perturbs decisively
+    # (|delta| > lr/3) move the same direction under both variants.
+    d_ref = first["separable"] - np.asarray(x0)
+    strong = np.abs(d_ref) > 0.1
+    assert strong.sum() > 50  # the fixture must actually exercise guidance
+    for impl in ("separable_xy", "separable_xy_bf16"):
+        d = first[impl] - np.asarray(x0)
+        agree = np.sign(d[strong]) == np.sign(d_ref[strong])
+        assert agree.mean() > 0.9, (impl, agree.mean())
+
+
 def test_choose_closest_to_gt():
     """guide_with_gt selection: availability-masked closest-to-GT sample;
     agents with no valid GT fall back to sample 0
