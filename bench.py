@@ -73,7 +73,11 @@ SKIP_CLOSED_LOOP = os.environ.get("BENCH_SKIP_CLOSED_LOOP", "0") == "1"
 # scan unrolling for the 100-step sampler: >1 trades compile time for
 # steady-state throughput (per-step loop overhead amortized, cross-step
 # fusion). Compile on the axon tunnel grows with the unrolled body.
-UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
+# Default 2: a round-5 A/B/A (guided 204.7k/204.5k at unroll 2 vs 198.1k
+# sandwiched at 1; unguided 456k/462k vs 450k) reproduced round 3's +1.7%
+# direction on both pipelines, consistently above every unroll-1 reading
+# of the day. Unroll 4 measured no further gain (r3).
+UNROLL = int(os.environ.get("BENCH_UNROLL", 2))
 # decoder impl for the guidance decode indirection: "auto" routes to the
 # fused pallas LSTM stack on TPU (ops/lstm_pallas.py), "flax" to the
 # module scan (A/B knob)
