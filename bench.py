@@ -479,7 +479,9 @@ def bench_train_steps(cfg, dm_trainer, dm_state, batch):
     vae_state, m = step(vae_state, batch, jax.random.key(4))
     jax.block_until_ready(m["loss"])
     log(f"vae train step compiled+warm in {time.perf_counter() - t0:.1f}s")
-    iters = 10
+    # each step is one dispatch (a tunnel RPC on this box): 30 iterations
+    # averages the RPC jitter that made 10-iter readings swing ~2x
+    iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         vae_state, m = step(vae_state, batch, jax.random.key(5 + i))

@@ -71,6 +71,27 @@ def test_final_step_is_deterministic_mean(unet_setup):
     )
 
 
+def test_sample_traj_unroll_invariant(unet_setup):
+    """Scan unrolling is a pure scheduling knob (bench.py defaults to
+    unroll=2): samples, x1 and log-probs must match the unroll=1 program
+    up to jit-fusion reassociation."""
+    sch = make_schedule(10)
+    cond = jax.random.normal(jax.random.key(4), (2, 32))
+    outs = {
+        u: jax.jit(
+            lambda rng, u=u: sample_traj(
+                unet_setup, sch, rng, cond, 52, 4, num_samp=2, unroll=u
+            )
+        )(jax.random.key(11))
+        for u in (1, 2)
+    }
+    for key in ("pred_traj", "x1", "log_prob_final"):
+        np.testing.assert_allclose(
+            np.asarray(outs[2][key]), np.asarray(outs[1][key]),
+            rtol=1e-3, atol=1e-3, err_msg=key,
+        )
+
+
 def test_guidance_hook_applied(unet_setup):
     """A guidance_fn shifting the mean must shift the samples."""
     sch = make_schedule(10)
